@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch event analytics over the `events` table: sessionization and
+  * time-bucketed rollups. The streaming (Structured Streaming) counterparts
+  * live in graft.streaming; these batch forms are the oracle-checkable ones.
+  *
+  * All timestamp arithmetic is done on epoch milliseconds (longs) so results
+  * are engine-portable: the parquet files store nanosecond timestamps, which
+  * Spark truncates to micros on read — working in ms floors identically in
+  * every engine.
+  */
+object EventOps {
+
+  val SessionGapMs: Long = 30L * 60 * 1000 // 30 minutes
+
+  /** Epoch-millis from the events `ts` column. The parquet stores
+    * TIMESTAMP(NANOS), which Spark only reads with
+    * spark.sql.legacy.parquet.nanosAsLong=true (as raw nanos longs) —
+    * handle both that and a genuine timestamp column. */
+  private def tsMs(df: DataFrame): Column =
+    df.schema("ts").dataType match {
+      // integer division: nanos exceed double's 2^53 mantissa, so `/` (which
+      // is double division) would corrupt the low bits
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
+      case _ => unix_millis(col("ts"))
+    }
+
+  /** Gap-based sessionization: a new session starts when the user's
+    * inter-event gap exceeds `gapMs`. One output row per session:
+    * (user_id, session_start_ms, session_end_ms, n_events, sum_value).
+    * sum_value goes through DECIMAL so it is order-independent-exact. */
+  def sessionize(events: DataFrame, gapMs: Long = SessionGapMs): DataFrame = {
+    val e = events.select(col("user_id"), tsMs(events).as("ms"),
+      col("event_id"), col("value"))
+    val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    val withSess = e
+      .withColumn("new_sess",
+        when(col("ms") - lag(col("ms"), 1).over(w) > gapMs, 1)
+          .when(lag(col("ms"), 1).over(w).isNull, 1)
+          .otherwise(0))
+      .withColumn("sess_id", sum(col("new_sess"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withSess.groupBy("user_id", "sess_id")
+      .agg(
+        min(col("ms")).as("session_start_ms"),
+        max(col("ms")).as("session_end_ms"),
+        count("*").as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .drop("sess_id")
+  }
+
+  /** Hourly rollup per event type: (hour_ms, event_type, n, sum_value). */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events
+      .groupBy((floor(tsMs(events) / 3600000L) * 3600000L).cast("long").as("hour_ms"),
+        col("event_type"))
+      .agg(count("*").as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+}

@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.EventOps
+
+/** General relational + event-analytics queries (SURVEY.md §2.7): the
+  * engine's SQL surface beyond the reference's vector ops. Monetary sums go
+  * through DECIMAL(18,4) so they are bit-exact regardless of partition /
+  * summation order (doubles are not associative; decimals are).
+  */
+object QueriesRelational {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  private def dec(c: String) = col(c).cast("decimal(18,4)")
+
+  // ---- TPC-H Q1-style pricing summary -------------------------------------
+
+  private def q1(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2026-01-01"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")))
+          .cast("double").as("sum_disc_price"),
+        sum(dec("l_extendedprice") * (lit(1) - dec("l_discount"))
+          * (lit(1) + dec("l_tax"))).cast("double").as("sum_charge"),
+        (sum(dec("l_quantity")).cast("double") / count("*")).as("avg_qty"),
+        (sum(dec("l_discount")).cast("double") / count("*")).as("avg_disc"),
+        count("*").as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val q1Oracle =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE) AS sum_charge,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+      |  CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2026-01-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---- TPC-H Q3-style top revenue (3-way join, broadcast dims) ------------
+
+  private def q3(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+    li.join(broadcast(ord.join(broadcast(cust),
+        ord("o_custkey") === cust("c_custkey"))),
+        li("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey")
+      .agg(sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  private val q3Oracle =
+    """SELECT o_orderkey,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |              JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderkey
+      |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
+  // ---- window: top-3 orders per customer ----------------------------------
+
+  private def topOrders(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  private val topOrdersOracle =
+    """SELECT o_custkey, CAST(row_number() OVER
+      |  (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn,
+      |  o_orderkey, o_totalprice
+      |FROM orders QUALIFY rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  // ---- events: sessionize + hourly rollup ----------------------------------
+
+  private def sessionizeQuery(s: SparkSession, dir: String): DataFrame =
+    EventOps.sessionize(Tables.events(s, dir))
+      .orderBy("user_id", "session_start_ms")
+
+  private val sessionizeOracle =
+    s"""WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id, value FROM events),
+       |m AS (SELECT *, CASE WHEN ms - lag(ms) OVER w > ${EventOps.SessionGapMs}
+       |                     OR lag(ms) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+       |s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id FROM m)
+       |SELECT user_id, min(ms) AS session_start_ms, max(ms) AS session_end_ms,
+       |       count(*) AS n_events,
+       |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+       |FROM s GROUP BY user_id, sess_id
+       |ORDER BY user_id, session_start_ms""".stripMargin
+
+  private def hourlyQuery(s: SparkSession, dir: String): DataFrame =
+    EventOps.hourlyRollup(Tables.events(s, dir)).orderBy("hour_ms", "event_type")
+
+  private val hourlyOracle =
+    """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- registry -----------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tpch_q1" -> (q1 _),
+    "tpch_q3_top_revenue" -> (q3 _),
+    "window_top_orders" -> (topOrders _),
+    "events_sessionize" -> (sessionizeQuery _),
+    "events_hourly" -> (hourlyQuery _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "tpch_q1" -> q1Oracle,
+    "tpch_q3_top_revenue" -> q3Oracle,
+    "window_top_orders" -> topOrdersOracle,
+    "events_sessionize" -> sessionizeOracle,
+    "events_hourly" -> hourlyOracle,
+  )
+}

@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.{Dedup, TextOps}
+
+/** Text-analysis + dedup queries over the documents table, with DuckDB
+  * oracles. All are single-pass column expressions or one hash shuffle. */
+object QueriesText {
+
+  private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+
+  // ---- quality stats ------------------------------------------------------
+
+  private def qualityQuery(s: SparkSession, dir: String): DataFrame =
+    TextOps.qualityStats(docs(s, dir))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(col("avg_token_len"), 6).as("avg_token_len"),
+        round(col("stopword_ratio"), 6).as("stopword_ratio"),
+        round(col("dup_ratio"), 6).as("dup_ratio"))
+      .orderBy("doc_id")
+
+  private val stopList =
+    TextOps.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val qualityOracle =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(toks) AS INT) AS n_tokens,
+       |  CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+       |  round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6) AS avg_token_len,
+       |  round(CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE) / len(toks), 6) AS stopword_ratio,
+       |  round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS dup_ratio
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  // ---- language id --------------------------------------------------------
+
+  private def langIdQuery(s: SparkSession, dir: String): DataFrame =
+    TextOps.langId(docs(s, dir)).orderBy("doc_id")
+
+  private val langIdOracle = {
+    val markers = TextOps.LangMarkers.map { case (l, ws) =>
+      l -> ws.map(w => s"'$w'").mkString("[", ", ", "]")
+    }
+    val scoreCols = markers.map { case (l, lst) =>
+      s"CAST(len(list_filter(toks, x -> list_contains($lst, x))) AS INT) AS score_$l"
+    }.mkString(",\n  ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |sc AS (SELECT doc_id,
+       |  $scoreCols
+       |FROM t)
+       |SELECT doc_id, score_en, score_de, score_es, score_fr,
+       |  CASE WHEN score_en + score_de + score_es + score_fr = 0 THEN 'und'
+       |       WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr THEN 'en'
+       |       WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
+       |       WHEN score_es >= score_fr THEN 'es'
+       |       ELSE 'fr' END AS pred_lang
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- fingerprint --------------------------------------------------------
+
+  private def fingerprintQuery(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  private val fingerprintOracle =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- exact dedup --------------------------------------------------------
+
+  private def dedupQuery(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(docs(s, dir)).orderBy("text_hash")
+
+  private val dedupOracle =
+    """SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS keep_id
+      |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin
+
+  // ---- registry -----------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality" -> (qualityQuery _),
+    "text_lang_id" -> (langIdQuery _),
+    "text_fingerprint" -> (fingerprintQuery _),
+    "dedup_exact" -> (dedupQuery _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_quality" -> qualityOracle,
+    "text_lang_id" -> langIdOracle,
+    "text_fingerprint" -> fingerprintOracle,
+    "dedup_exact" -> dedupOracle,
+  )
+}
