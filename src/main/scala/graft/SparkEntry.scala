@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{QueriesRelational, QueriesText, QueriesVector}
+import graft.queries.{QueriesGraph, QueriesRelational, QueriesText, QueriesVector}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,10 +19,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    QueriesVector.queries ++ QueriesText.queries ++ QueriesRelational.queries
+    QueriesVector.queries ++ QueriesText.queries ++
+      QueriesRelational.queries ++ QueriesGraph.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    QueriesVector.oracles ++ QueriesText.oracles ++ QueriesRelational.oracles
+    QueriesVector.oracles ++ QueriesText.oracles ++
+      QueriesRelational.oracles ++ QueriesGraph.oracles
 }

@@ -1,0 +1,269 @@
+package graft.build
+
+import graft.core.{BuildParams, Metric, SearchParams}
+import graft.ops.KnnJoin
+import graft.ops.graph.{BeamSearch, OcclusionPrune, VecStore}
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A built graph index over a base vector collection.
+  *
+  * @param adj   dense adjacency, `adj(i)` = neighbor dense ids, order
+  *              meaningful (nearest-first after prune)
+  * @param ep    dense entry-point id (node closest to centroid —
+  *              src/index_bipartite.cpp:2018-2041)
+  * @param ids   dense id → external id
+  * @param vs    the base vectors (normalized already if cosine)
+  */
+final case class GraphIndex(adj: Array[Array[Int]], ep: Int,
+                            ids: Array[Long], vs: VecStore) extends Serializable {
+  def n: Int = ids.length
+  def degreeStats: (Double, Int, Int) = {
+    var tot = 0L; var mx = 0; var mn = Int.MaxValue
+    adj.foreach { a => tot += a.length; mx = math.max(mx, a.length); mn = math.min(mn, a.length) }
+    (tot.toDouble / adj.length, mx, mn)
+  }
+}
+
+/** RoarGraph construction (SURVEY.md §2.4 G1-G12; reference BuildRoarGraph,
+  * src/index_bipartite.cpp:143-233 + LinkProjection :1043-1277), reformulated
+  * bulk-synchronously for Spark:
+  *
+  * every OpenMP `parallel for` over nodes becomes a distributed map over a
+  * node Dataset, and every lock-guarded read-modify-write of an adjacency
+  * list (`locks_`, include/index_bipartite.h:166) becomes a `groupByKey` +
+  * deterministic merge. The reference's results are thread-interleaving-
+  * dependent; ours are reproducible (SURVEY.md §7.4 item 2).
+  *
+  * Scale model: the per-phase *compute* (kNN, prune, beam self-search) is
+  * distributed over executors; the vectors and the evolving graph are
+  * broadcast snapshots (the reference likewise keeps both fully in RAM —
+  * 10M×200d ≈ 8 GB). Beyond broadcast size, the documented path is sharded
+  * builds (partition the base, build per shard, search all shards, merge
+  * top-k — standard for disk-scale ANN); the phase dataflow is unchanged.
+  */
+object RoarGraphBuilder {
+
+  /** Dense-id kNN lists for the sampled queries: `query → top-mSq base`.
+    * Computed with the engine's own exact kNN join operator (SURVEY A1)
+    * instead of the reference's external DiskANN-era groundtruth file
+    * (consumed at tests/test_build_roargraph.cpp:125). */
+  private def learnBaseKnn(queries: DataFrame, bcVs: Broadcast[VecStore],
+                           params: BuildParams): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val mSq = params.mSq
+    queries.select(col("id").cast("long"), col("vec"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val vs = bcVs.value
+        it.map { case (qid, qv0) =>
+          val qv = normalizeIfNeeded(qv0, vs.metric)
+          val heap = new KnnJoin.BoundedTopK(mSq)
+          var i = 0
+          while (i < vs.n) { heap.push(vs.distTo(i, qv), i.toLong); i += 1 }
+          (qid, heap.result().map(_._2.toInt))
+        }
+      }.toDF("query_id", "knn")
+  }
+
+  private def normalizeIfNeeded(v: Array[Float], metric: Metric): Array[Float] =
+    if (!metric.needNormalize) v
+    else {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+      val nrm = math.sqrt(s)
+      if (nrm == 0.0) v
+      else { val o = new Array[Float](v.length); i = 0
+        while (i < v.length) { o(i) = (v(i) / nrm).toFloat; i += 1 }; o }
+    }
+
+  /** Entry point = argmin over base of dist(vec, centroid), ties by id
+    * (CalculateProjectionep, src/index_bipartite.cpp:2004-2041). Always L2
+    * to the centroid exactly like the reference (it uses `distance_` — but
+    * on normalized data for cosine; we mirror by using the store metric). */
+  private[build] def entryPoint(vs: VecStore): Int = {
+    val cen = new Array[Float](vs.dim)
+    var i = 0
+    while (i < vs.n) {
+      var d = 0
+      while (d < vs.dim) { cen(d) += vs.data(i * vs.dim + d); d += 1 }
+      i += 1
+    }
+    var d = 0
+    while (d < vs.dim) { cen(d) /= vs.n; d += 1 }
+    var best = 0
+    var bestD = Double.MaxValue
+    i = 0
+    while (i < vs.n) {
+      val dd = vs.distTo(i, cen)
+      if (dd < bestD) { bestD = dd; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** Deterministic bulk reverse-edge merge (G8 ProjectionAddReverse /
+    * G12 SupplyAddReverse, src/index_bipartite.cpp:1391-1432 / :1352-1389):
+    * append reverse candidates in ascending (dist,id) while under
+    * `appendCap`; on overflow, occlusion-prune the union down to `pruneTo`.
+    */
+  private def mergeReverse(fwd: Array[Int], rev: Array[Int], node: Int,
+                           vs: VecStore, appendCap: Int, pruneTo: Int,
+                           backfill: Boolean): Array[Int] = {
+    val have = fwd.toSet
+    val newRev = rev.distinct.filter(r => r != node && !have.contains(r))
+      .map(r => (r, vs.dist(node, r))).sortBy(p => (p._2, p._1))
+    if (fwd.length + newRev.length <= appendCap) fwd ++ newRev.map(_._1)
+    else {
+      val all = fwd.map(f => (f, vs.dist(node, f))) ++ newRev
+      OcclusionPrune.prune(all, node, pruneTo, vs, backfill)
+    }
+  }
+
+  /** Build. `base`/`queries` expose (id: long, vec: array<float>). */
+  def build(base: DataFrame, queries: DataFrame, params: BuildParams,
+            precomputedKnn: Option[DataFrame] = None): GraphIndex = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val m = params.mPjbp
+
+    // ---- load + dense remap (BuildRoarGraph sizes/normalize, :152-182) ----
+    val baseRows = base.select(col("id").cast("long"), col("vec"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val ids = baseRows.map(_._1)
+    val vs = VecStore(baseRows.map(_._2), params.metric)
+    val bcVs = sc.broadcast(vs)
+    val extToDense = ids.zipWithIndex.toMap
+    val n = ids.length
+
+    // ---- entry point (G22) ----
+    val ep = entryPoint(vs)
+
+    // ---- build input: query → base exact kNN (A1; dense ids) ----
+    val knn: DataFrame = precomputedKnn match {
+      case Some(df) => df // [query_id, knn: array<int> dense, sorted by dist]
+      case None     => learnBaseKnn(queries, bcVs, params)
+    }
+
+    // ---- phase 1: query-side projection (G3, :1059-1097) ----
+    // per query: pivot = 1-NN; occlusion-prune the rest of its kNN list as
+    // pivot's forward candidates. Queries sharing a pivot are merged
+    // deterministically (the reference last-writer-wins under a lock).
+    val proposals = knn.select(col("knn")).as[Array[Int]]
+      .mapPartitions { it =>
+        val v = bcVs.value
+        it.flatMap { nn =>
+          if (nn.isEmpty) Iterator.empty
+          else {
+            val pivot = nn(0)
+            val cands = nn.iterator.drop(1).filter(_ != pivot)
+              .map(c => (c, v.dist(pivot, c))).toArray
+            if (cands.isEmpty) Iterator.empty
+            else Iterator.single(
+              (pivot, OcclusionPrune.prune(cands, pivot, params.mPjbp, v)))
+          }
+        }
+      }
+    val forward = proposals.groupByKey(_._1)
+      .mapGroups { (pivot, it) =>
+        val v = bcVs.value
+        val union = it.flatMap(_._2).toArray.distinct
+          .map(c => (c, v.dist(pivot, c)))
+        (pivot, OcclusionPrune.prune(union, pivot, params.mPjbp, v))
+      }.collect().toMap
+
+    // ---- phase 1b/1c: reverse sweep + overflow re-prune (G4/G5/G8) ----
+    val fwdDs = sc.parallelize(
+      (0 until n).map(i => (i, forward.getOrElse(i, Array.empty[Int]))), 32)
+    val revDs = fwdDs.flatMap { case (src, nbrs) => nbrs.map(d => (d, src)) }
+    val projection: Array[Array[Int]] = {
+      val merged = fwdDs.cogroup(revDs).map { case (node, (fwdIt, revIt)) =>
+        val v = bcVs.value
+        val fwd = fwdIt.headOption.getOrElse(Array.empty[Int])
+        (node, mergeReverse(fwd, revIt.toArray, node, v,
+          appendCap = m, pruneTo = m, backfill = true))
+      }.collect()
+      val adj = Array.fill(n)(Array.empty[Int])
+      merged.foreach { case (i, nb) => adj(i) = nb }
+      adj
+    }
+
+    // ---- phase 2: connectivity enhancement (G6, :1183-1276) ----
+    // Every base node beam-searches for itself over a frozen snapshot of the
+    // supply graph (the reference mutates it concurrently — order-dependent;
+    // the BSP snapshot is the deterministic translation).
+    val bcSupply = sc.broadcast(projection)
+    val selfSearch = spark.range(n).as[Long].mapPartitions { it =>
+      val v = bcVs.value
+      val supply = bcSupply.value
+      val visited = new BeamSearch.Visited(v.n)
+      it.map { nodeL =>
+        val node = nodeL.toInt
+        val res = BeamSearch.search(supply, v, v.row(node), params.mPjbp,
+          params.lPjpq, ep, visited, exclude = node, collectPool = true)
+        val pool = res.pool.filter(_._1 != node)
+        // G9 prune: first kept element skips nodes already linked forward
+        // (src/index_bipartite.cpp:1861-1866); strict pass only, no backfill
+        val linked = supply(node).toSet
+        val sorted = pool.sortBy(p => (p._2, p._1))
+        val startIdx = sorted.indexWhere(p => !linked.contains(p._1))
+        val eff = if (startIdx <= 0) sorted else
+          sorted(startIdx) +: (sorted.take(startIdx) ++ sorted.drop(startIdx + 1))
+        (node, OcclusionPrune.prune(eff, node, params.mPjbp, v, backfill = false))
+      }
+    }.rdd
+    val supplyRev = selfSearch.flatMap { case (src, nbrs) => nbrs.map(d => (d, src)) }
+    val supplyMerged = selfSearch.cogroup(supplyRev).map {
+      case (node, (fwdIt, revIt)) =>
+        val v = bcVs.value
+        val fwd = fwdIt.headOption.getOrElse(Array.empty[Int])
+        // G12 cap 2m on append; G11 overflow prune to m (no backfill); then
+        // the reference's post-pass re-prunes any node still over m (:1224-48)
+        val merged = mergeReverse(fwd, revIt.toArray, node, v,
+          appendCap = 2 * m, pruneTo = m, backfill = false)
+        val capped =
+          if (merged.length <= m) merged
+          else OcclusionPrune.prune(
+            merged.map(c => (c, v.dist(node, c))), node, m, v, backfill = false)
+        (node, capped)
+    }.collect()
+
+    // ---- merge supply into projection, ≤ 2m novel edges (:1251-1269) ----
+    val supplyArr = Array.fill(n)(Array.empty[Int])
+    supplyMerged.foreach { case (i, nb) => supplyArr(i) = nb }
+    val adj = Array.tabulate(n) { i =>
+      val have = projection(i).toSet
+      val novel = supplyArr(i).filter(!have.contains(_)).take(2 * m)
+      projection(i) ++ novel
+    }
+    bcSupply.destroy()
+    GraphIndex(adj, ep, ids, vs)
+  }
+
+  /** Batch search (Q1 SearchRoarGraph, src/index_bipartite.cpp:2311-2420):
+    * broadcast the index, map query partitions through the beam kernel —
+    * the Spark analogue of the reference's one-OpenMP-task-per-query model
+    * (tests/test_search_roargraph.cpp:203). Output ids are external.
+    * Returns [query_id, ids, dists, cmps, hops]. */
+  def searchBatch(index: GraphIndex, queries: DataFrame,
+                  params: SearchParams): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(index)
+    val (k, l) = (params.k, params.lPq)
+    queries.select(col("id").cast("long"), col("vec"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val idx = bc.value
+        val visited = new BeamSearch.Visited(idx.n)
+        it.map { case (qid, qv0) =>
+          val qv = normalizeIfNeeded(qv0, idx.vs.metric)
+          val r = BeamSearch.search(idx.adj, idx.vs, qv, k, l, idx.ep, visited)
+          (qid, r.ids.map(idx.ids(_)), r.dists, r.cmps, r.hops)
+        }
+      }.toDF("query_id", "ids", "dists", "cmps", "hops")
+  }
+}

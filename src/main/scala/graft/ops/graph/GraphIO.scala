@@ -1,0 +1,57 @@
+package graft.ops.graph
+
+import graft.build.GraphIndex
+import graft.core.Metric
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph index persistence (SURVEY.md §2.1 S7/S8; reference Save/Load +
+  * SaveProjectionGraph/LoadProjectionGraph, src/index_bipartite.cpp:
+  * 2045-2071, 2606-2619, 2097-2117). The reference writes a packed binary
+  * `(ep, npts, then per-node degree+ids)`; the Spark-native form is a
+  * parquet adjacency table plus one metadata row — splittable, predicate-
+  * prunable, and readable by any engine.
+  */
+object GraphIO {
+
+  /** Write [id, vec, nbrs] adjacency + a `_meta` table (ep, metric, dim). */
+  def save(index: GraphIndex, path: String)(implicit spark: SparkSession): Unit = {
+    import spark.implicits._
+    val rows = index.ids.indices.map { i =>
+      (index.ids(i), index.vs.row(i), index.adj(i).map(index.ids(_)))
+    }
+    rows.toDF("id", "vec", "nbrs").write.mode("overwrite")
+      .parquet(s"$path/adjacency")
+    val metricName = index.vs.metric match {
+      case Metric.L2 => "l2"; case Metric.InnerProduct => "ip"
+      case Metric.Cosine => "cosine"
+    }
+    Seq((index.ids(index.ep), metricName, index.vs.dim))
+      .toDF("entry_point", "metric", "dim")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def load(path: String)(implicit spark: SparkSession): GraphIndex = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$path/meta").collect().head
+    val metric = Metric.fromString(meta.getAs[String]("metric"))
+    val rows = spark.read.parquet(s"$path/adjacency")
+      .select(col("id").cast("long"), col("vec"), col("nbrs"))
+      .as[(Long, Array[Float], Array[Long])].collect().sortBy(_._1)
+    val ids = rows.map(_._1)
+    val dense = ids.zipWithIndex.toMap
+    // vectors were normalized at build time if cosine (re-normalizing is
+    // idempotent, so round-trips are stable)
+    val vs = VecStore(rows.map(_._2), metric)
+    val adj = rows.map(_._3.map(dense(_)))
+    GraphIndex(adj, dense(meta.getAs[Long]("entry_point")), ids, vs)
+  }
+
+  /** Adjacency DataFrame view of an in-memory index (external ids). */
+  def toDF(index: GraphIndex)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    index.ids.indices.map { i =>
+      (index.ids(i), index.adj(i).map(index.ids(_)))
+    }.toDF("src", "nbrs")
+  }
+}

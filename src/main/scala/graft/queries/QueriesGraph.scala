@@ -1,0 +1,91 @@
+package graft.queries
+
+import graft.build.{BipartiteBuilder, RoarGraphBuilder}
+import graft.core.{BuildParams, Metric, SearchParams, Tables}
+import graft.eval.Eval
+import graft.ops.KnnJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph-index queries (SURVEY.md §2.4/2.5): bipartite construction (G13,
+  * SQL-expressible → DuckDB oracle) and the RoarGraph build+search pipeline
+  * (iterative/graph-traversal semantics → rows-only driver check; the
+  * ScalaTest recall gate in RoarGraphSpec is the correctness authority).
+  *
+  * Conventions: embeddings ids < 20 = sampled queries, >= 20 = base;
+  * query node offset nd = 1000; k = 10.
+  */
+object QueriesGraph {
+
+  private val Nd = 1000L
+  private val M = 8
+
+  private def emb(s: SparkSession, dir: String) = Tables.vectors(s, dir)
+  private def qSide(s: SparkSession, dir: String) =
+    emb(s, dir).filter(col("id") < 20)
+  private def bSide(s: SparkSession, dir: String) =
+    emb(s, dir).filter(col("id") >= 20)
+
+  // ---- bipartite build (G13) ---------------------------------------------
+
+  private def bipartiteQuery(s: SparkSession, dir: String): DataFrame = {
+    val knn = KnnJoin(qSide(s, dir), bSide(s, dir), 10, Metric.L2)
+      .select(col("query_id"), transform(col("knn"), _("id")).as("knn"))
+    BipartiteBuilder.build(knn, Nd, M)
+      .select(col("src"), posexplode(col("nbrs")).as(Seq("pos0", "nbr")))
+      .select(col("src"), (col("pos0") + 1).cast("int").as("pos"), col("nbr"))
+      .orderBy("src", "pos")
+  }
+
+  private val l2SqlDist =
+    "list_sum(list_transform(list_zip(qe, be), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+
+  private val bipartiteOracle =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
+       |b AS (SELECT vec_id AS bid, embedding AS be FROM embeddings WHERE vec_id >= 20),
+       |knn AS (SELECT qid, bid,
+       |          row_number() OVER (PARTITION BY qid ORDER BY $l2SqlDist, bid) AS rnk
+       |        FROM q, b QUALIFY rnk <= $M),
+       |qs AS (SELECT qid + $Nd AS src, rnk - 1 AS pos, bid AS nbr FROM knn WHERE rnk >= 2),
+       |bs AS (SELECT src, row_number() OVER (PARTITION BY src ORDER BY nbr) AS pos, nbr
+       |       FROM (SELECT bid AS src, qid + $Nd AS nbr FROM knn WHERE rnk = 1))
+       |SELECT src, CAST(pos AS INT) AS pos, nbr
+       |FROM (SELECT * FROM qs UNION ALL SELECT * FROM bs)
+       |ORDER BY src, pos""".stripMargin
+
+  // ---- RoarGraph build + search (G1-G12, Q1) — rows-only -----------------
+
+  private def buildParams = BuildParams(mSq = 40, mPjbp = 12, lPjpq = 60,
+    metric = Metric.L2)
+
+  private def roargraphStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val idx = RoarGraphBuilder.build(bSide(s, dir), qSide(s, dir), buildParams)
+    val (avg, mx, mn) = idx.degreeStats
+    Seq((idx.ids(idx.ep), idx.n.toLong, math.rint(avg * 1e6) / 1e6, mx, mn))
+      .toDF("entry_point", "n_nodes", "avg_degree", "max_degree", "min_degree")
+  }
+
+  private def roargraphRecall(s: SparkSession, dir: String): DataFrame = {
+    val idx = RoarGraphBuilder.build(bSide(s, dir), qSide(s, dir), buildParams)
+    val res = RoarGraphBuilder
+      .searchBatch(idx, qSide(s, dir), SearchParams(10, 100, Metric.L2))
+      .select(col("query_id"), col("ids"))
+    val gt = KnnJoin(qSide(s, dir), bSide(s, dir), 10, Metric.L2)
+      .select(col("query_id"), transform(col("knn"), _("id")).as("ids"))
+    Eval.recallAtK(res, gt, 10)
+      .select(round(col("recall_at_k"), 6).as("recall_at_k"), col("n_queries"))
+  }
+
+  // ---- registry -----------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_bipartite" -> (bipartiteQuery _),
+    "roargraph_build_stats" -> (roargraphStats _),
+    "roargraph_search_recall" -> (roargraphRecall _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "graph_bipartite" -> bipartiteOracle,
+  )
+}
