@@ -21,7 +21,7 @@ object EventOps {
     * TIMESTAMP(NANOS), which Spark only reads with
     * spark.sql.legacy.parquet.nanosAsLong=true (as raw nanos longs) —
     * handle both that and a genuine timestamp column. */
-  private def tsMs(df: DataFrame): Column =
+  def tsMs(df: DataFrame): Column =
     df.schema("ts").dataType match {
       // integer division: nanos exceed double's 2^53 mantissa, so `/` (which
       // is double division) would corrupt the low bits

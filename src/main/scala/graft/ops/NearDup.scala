@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for training-data pipelines: MinHash+LSH,
+  * SimHash, n-gram Jaccard. All hashing is engine-defined and deterministic
+  * (polynomial rolling hashes with literal constants) so every stage is
+  * expressible identically in any SQL engine — the DuckDB oracles in
+  * QueriesDedup are generated from the same constants.
+  *
+  * Scale design: per-doc signatures are single-pass column expressions
+  * (codegen'd higher-order functions, no UDFs, no shuffle); candidate
+  * generation shuffles only (band_key, doc_id) pairs — never document text;
+  * exact Jaccard runs only on LSH candidates, so the cross-product is
+  * avoided entirely. This is the standard 100 TB dedup shape (the
+  * MinHashLSH pattern of Broder'97 / Spark MLlib, re-expressed relationally).
+  */
+object NearDup {
+
+  // ---- shared constants (mirrored into oracle SQL) -----------------------
+
+  val ShingleSize = 3
+  val HashMod = 1000000007L       // prime modulus for all poly hashes
+  val CharBase = 31L              // char-level rolling base (= fingerprint's)
+  /** (a, b) per MinHash function h_i(x) = (a*x + b) mod HashMod. */
+  val MinHashParams: Seq[(Long, Long)] = Seq(
+    (3L, 17L), (5L, 101L), (7L, 281L), (11L, 499L),
+    (13L, 683L), (17L, 907L), (19L, 1151L), (23L, 1373L))
+  val Bands = 4                   // 4 bands x 2 rows over the 8 minhashes
+  val RowsPerBand = 2
+  val SimHashBits = 24            // simhash width (fits comfortably in i64)
+  val SimHashChunks = 4           // 4 x 6-bit chunks for candidate banding
+
+  // ---- building blocks ----------------------------------------------------
+
+  /** Character-level polynomial hash of a string column, mod HashMod. */
+  def charHash(s: Column): Column =
+    aggregate(transform(split(s, ""), c => ascii(c).cast("long")),
+      lit(0L), (acc, x) => (acc * CharBase + x) % HashMod)
+
+  /** Distinct word-`n`-gram shingle hashes of a text column (sorted for
+    * determinism). Whitespace tokens; shingle = space-joined n-gram. */
+  def shingleHashes(text: Column, n: Int = ShingleSize): Column = {
+    val toks = split(text, " ")
+    val cnt = size(toks) - (n - 1)
+    // guard: sequence(1, 0) would count DOWN in Spark, not produce empty
+    val shingleStrs = when(cnt >= 1,
+      transform(sequence(lit(1), cnt), i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    sort_array(array_distinct(transform(shingleStrs, charHash _)))
+  }
+
+  /** MinHash signature: array of min((a_i*x + b_i) mod M) over shingles. */
+  def minHashSignature(shingles: Column): Column =
+    array(MinHashParams.map { case (a, b) =>
+      array_min(transform(shingles, x => (x * a + b) % HashMod))
+    }: _*)
+
+  /** Per-doc signatures: (idCol, shingles, sig). */
+  def signatures(docs: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol), shingleHashes(col(textCol)).as("shingles"))
+      .withColumn("sig", minHashSignature(col("shingles")))
+
+  /** LSH candidate pairs: docs sharing at least one band key.
+    * Output (id_a, id_b) with id_a < id_b, distinct. Shuffles only
+    * (band, key, id) triples — the text never moves. */
+  def lshCandidates(sigs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val banded = sigs.select(
+      col(idCol),
+      posexplode(array((0 until Bands).map { bnd =>
+        // band key packs the band's rows into one i64: r0 * M + r1 < 2^63
+        (0 until RowsPerBand).map(r => col("sig")(bnd * RowsPerBand + r))
+          .reduceLeft((acc, x) => acc * HashMod + x)
+      }: _*)).as(Seq("band", "key")))
+    val a = banded.select(col("band"), col("key"), col(idCol).as("id_a"))
+    val b = banded.select(col("band"), col("key"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact n-gram Jaccard on given pairs; keeps pairs ≥ `threshold`.
+    * Output (id_a, id_b, jaccard). */
+  def jaccardOnPairs(pairs: DataFrame, sigs: DataFrame, threshold: Double,
+                     idCol: String = "doc_id"): DataFrame = {
+    val sa = sigs.select(col(idCol).as("id_a"), col("shingles").as("sh_a"))
+    val sb = sigs.select(col(idCol).as("id_b"), col("shingles").as("sh_b"))
+    pairs.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash-LSH near-dup pipeline: signatures → banded candidates → exact
+    * Jaccard verification. The canonical large-corpus near-dedup. */
+  def minHashLsh(docs: DataFrame, threshold: Double = 0.5,
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sigs = signatures(docs, textCol, idCol)
+    jaccardOnPairs(lshCandidates(sigs, idCol), sigs, threshold, idCol)
+  }
+
+  // ---- SimHash ------------------------------------------------------------
+
+  /** Per-doc SimHash over token-level char hashes: bit b of the fingerprint
+    * is set iff tokens with bit b set are the (weak) majority. */
+  def simHash(text: Column): Column = {
+    val hs = transform(split(text, " "), charHash _)
+    val n = size(hs)
+    (0 until SimHashBits).map { b =>
+      val cnt = aggregate(hs, lit(0L),
+        (acc, h) => acc + shiftright(h, b).bitwiseAND(lit(1L)))
+      when(cnt * 2 >= n, lit(1L << b)).otherwise(lit(0L))
+    }.reduceLeft(_ + _)
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`.
+    * Candidates via chunk banding (pigeonhole: distance ≤ chunks-1
+    * guarantees an equal chunk; larger distances may be missed — that is
+    * the standard SimHash recall/cost trade). */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 6,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val bitsPerChunk = SimHashBits / SimHashChunks
+    val sh = docs.select(col(idCol), simHash(col(textCol)).as("simhash"))
+    val banded = sh.select(col(idCol), col("simhash"),
+      posexplode(array((0 until SimHashChunks).map { c =>
+        shiftright(col("simhash"), c * bitsPerChunk)
+          .bitwiseAND(lit((1L << bitsPerChunk) - 1))
+      }: _*)).as(Seq("chunk", "key")))
+    val a = banded.select(col("chunk"), col("key"),
+      col(idCol).as("id_a"), col("simhash").as("sh_a"))
+    val b = banded.select(col("chunk"), col("key"),
+      col(idCol).as("id_b"), col("simhash").as("sh_b"))
+    // hamming-filter BEFORE distinct: the chunk join can emit millions of
+    // candidate rows; only the (tiny) passing set should reach the shuffle
+    a.join(b, Seq("chunk", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+}

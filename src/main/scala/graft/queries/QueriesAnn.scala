@@ -1,0 +1,129 @@
+package graft.queries
+
+import graft.core.{Metric, Tables}
+import graft.eval.Eval
+import graft.ops.{AnnSearch, KnnJoin}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Approximate-NN queries with DuckDB oracles (both ANN variants are
+  * deterministic relational dataflow, so even the approximate results are
+  * hash-checked exactly — and their recall vs the exact operator is itself
+  * an oracle-checked query). Conventions: embeddings ids < 20 = queries,
+  * >= 20 = base; centroids = base ids 20..27; k = 10; metric = L2. */
+object QueriesAnn {
+
+  private val K = 10
+  private val NProbe = 2
+  private val CentroidLo = 20
+  private val CentroidHi = 27
+
+  private def emb(s: SparkSession, dir: String) = Tables.vectors(s, dir)
+  private def qSide(s: SparkSession, dir: String) =
+    emb(s, dir).filter(col("id") < 20)
+  private def bSide(s: SparkSession, dir: String) =
+    emb(s, dir).filter(col("id") >= 20)
+  private def centroids(s: SparkSession, dir: String) =
+    emb(s, dir).filter(col("id").between(CentroidLo, CentroidHi))
+      .select(col("id").as("centroid_id"), col("vec"))
+
+  private val l2SqlDist =
+    "list_sum(list_transform(list_zip(qe, be), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+
+  /** SQL LSH bucket of a list expr `v` (1-indexed lists). */
+  private def bucketSql(v: String): String =
+    (0 until AnnSearch.LshBits).map { d =>
+      s"(CASE WHEN CAST($v[${2 * d + 1}] AS DOUBLE) - CAST($v[${2 * d + 2}] AS DOUBLE) >= 0 THEN ${1L << d} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  // ---- LSH top-k ----------------------------------------------------------
+
+  private def lshTopKQuery(s: SparkSession, dir: String): DataFrame =
+    AnnSearch.lshTopK(qSide(s, dir), bSide(s, dir), K, Metric.L2)
+      .select(col("query_id"), col("rank"), col("base_id"),
+        round(col("dist"), 6).as("dist"))
+      .orderBy("query_id", "rank")
+
+  private val lshTopKOracle =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, ${bucketSql("embedding")} AS bucket
+       |           FROM embeddings WHERE vec_id < 20),
+       |b AS (SELECT vec_id AS bid, embedding AS be, ${bucketSql("embedding")} AS bucket
+       |      FROM embeddings WHERE vec_id >= 20),
+       |d AS (SELECT qid, bid, $l2SqlDist AS dist,
+       |        row_number() OVER (PARTITION BY qid ORDER BY $l2SqlDist, bid) AS rnk
+       |      FROM q JOIN b USING (bucket) QUALIFY rnk <= $K)
+       |SELECT qid AS query_id, CAST(rnk AS INT) AS rank, bid AS base_id,
+       |       round(dist, 6) AS dist
+       |FROM d ORDER BY query_id, rank""".stripMargin
+
+  // ---- LSH recall vs exact ------------------------------------------------
+
+  private def lshRecallQuery(s: SparkSession, dir: String): DataFrame = {
+    val approx = AnnSearch.lshTopK(qSide(s, dir), bSide(s, dir), K, Metric.L2)
+      .groupBy("query_id").agg(collect_list(col("base_id")).as("ids"))
+    val gt = KnnJoin(qSide(s, dir), bSide(s, dir), K, Metric.L2)
+      .select(col("query_id"), transform(col("knn"), _("id")).as("ids"))
+    Eval.recallAtK(approx, gt, K)
+      .select(round(col("recall_at_k"), 6).as("recall_at_k"), col("n_queries"))
+  }
+
+  private val lshRecallOracle =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, ${bucketSql("embedding")} AS bucket
+       |           FROM embeddings WHERE vec_id < 20),
+       |b AS (SELECT vec_id AS bid, embedding AS be, ${bucketSql("embedding")} AS bucket
+       |      FROM embeddings WHERE vec_id >= 20),
+       |ap AS (SELECT qid, bid,
+       |         row_number() OVER (PARTITION BY qid ORDER BY $l2SqlDist, bid) AS rnk
+       |       FROM q JOIN b USING (bucket) QUALIFY rnk <= $K),
+       |gt AS (SELECT qid, bid,
+       |         row_number() OVER (PARTITION BY qid ORDER BY $l2SqlDist, bid) AS rnk
+       |       FROM q, b QUALIFY rnk <= $K),
+       |hits AS (SELECT gt.qid, count(*) AS h FROM gt
+       |         JOIN ap ON gt.qid = ap.qid AND gt.bid = ap.bid GROUP BY gt.qid),
+       |per AS (SELECT q.qid, coalesce(h, 0) / $K.0 AS recall
+       |        FROM (SELECT DISTINCT qid FROM q) q LEFT JOIN hits USING (qid))
+       |SELECT round(avg(recall), 6) AS recall_at_k, count(*) AS n_queries FROM per""".stripMargin
+
+  // ---- IVF top-k ----------------------------------------------------------
+
+  private def ivfTopKQuery(s: SparkSession, dir: String): DataFrame =
+    AnnSearch.ivfTopK(qSide(s, dir), bSide(s, dir), centroids(s, dir),
+      K, NProbe, Metric.L2)
+      .select(col("query_id"), col("rank"), col("base_id"),
+        round(col("dist"), 6).as("dist"))
+      .orderBy("query_id", "rank")
+
+  private val ivfTopKOracle =
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |           WHERE vec_id BETWEEN $CentroidLo AND $CentroidHi),
+       |b AS (SELECT vec_id AS bid, embedding AS be FROM embeddings WHERE vec_id >= 20),
+       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
+       |assign AS (SELECT bid, be, cid,
+       |             row_number() OVER (PARTITION BY bid ORDER BY
+       |               list_sum(list_transform(list_zip(be, ce), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), cid) AS crnk
+       |           FROM b, c QUALIFY crnk = 1),
+       |probes AS (SELECT qid, qe, cid,
+       |             row_number() OVER (PARTITION BY qid ORDER BY
+       |               list_sum(list_transform(list_zip(qe, ce), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), cid) AS prnk
+       |           FROM q, c QUALIFY prnk <= $NProbe),
+       |d AS (SELECT qid, bid, $l2SqlDist AS dist,
+       |        row_number() OVER (PARTITION BY qid ORDER BY $l2SqlDist, bid) AS rnk
+       |      FROM probes JOIN assign USING (cid) QUALIFY rnk <= $K)
+       |SELECT qid AS query_id, CAST(rnk AS INT) AS rank, bid AS base_id,
+       |       round(dist, 6) AS dist
+       |FROM d ORDER BY query_id, rank""".stripMargin
+
+  // ---- registry -----------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_lsh_topk" -> (lshTopKQuery _),
+    "ann_lsh_recall" -> (lshRecallQuery _),
+    "ann_ivf_topk" -> (ivfTopKQuery _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ann_lsh_topk" -> lshTopKOracle,
+    "ann_lsh_recall" -> lshRecallOracle,
+    "ann_ivf_topk" -> ivfTopKOracle,
+  )
+}

@@ -74,6 +74,27 @@ object QueriesText {
       |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- token counting (whitespace + BPE-ish regex) -----------------------
+
+  /** Word-or-punctuation-run tokenization — the cheap BPE-pretokenizer-
+    * style count used for corpus budgeting. Same RE2-compatible pattern on
+    * both engines. */
+  private def tokenCountQuery(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      size(split(col("text"), " ")).as("n_ws_tokens"),
+      size(expr("regexp_extract_all(text, '\\\\w+|[^\\\\w\\\\s]+', 0)"))
+        .as("n_re_tokens"),
+      length(col("text")).as("n_chars"))
+      .orderBy("doc_id")
+
+  private val tokenCountOracle =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]+')) AS INT) AS n_re_tokens,
+      |  CAST(length(text) AS INT) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---- exact dedup --------------------------------------------------------
 
   private def dedupQuery(s: SparkSession, dir: String): DataFrame =
@@ -89,6 +110,7 @@ object QueriesText {
     "text_quality" -> (qualityQuery _),
     "text_lang_id" -> (langIdQuery _),
     "text_fingerprint" -> (fingerprintQuery _),
+    "text_token_count" -> (tokenCountQuery _),
     "dedup_exact" -> (dedupQuery _),
   )
 
@@ -96,6 +118,7 @@ object QueriesText {
     "text_quality" -> qualityOracle,
     "text_lang_id" -> langIdOracle,
     "text_fingerprint" -> fingerprintOracle,
+    "text_token_count" -> tokenCountOracle,
     "dedup_exact" -> dedupOracle,
   )
 }

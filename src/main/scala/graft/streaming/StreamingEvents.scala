@@ -1,0 +1,126 @@
+package graft.streaming
+
+import graft.ops.EventOps
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming counterparts of the batch event analytics
+  * (graft.ops.EventOps): the same logical aggregations declared over
+  * `readStream`, so one definition serves both batch backfill and live
+  * ingest — the standard kappa-architecture shape for a training-data
+  * pipeline's event/telemetry feeds.
+  */
+object StreamingEvents {
+
+  /** Streaming source over the events parquet (file-source; at scale this
+    * is a directory the ingest job appends to). */
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    // the streaming file source monitors a directory (or glob): turn a
+    // single-file path like .../events.parquet into a glob so the parent
+    // directory becomes the base (the driver's testdata is one file/table)
+    val f = new java.io.File(path)
+    val globbed =
+      if (f.isFile) s"${f.getParent}/{${f.getName}}"
+      else path
+    spark.readStream.schema(schema).parquet(globbed)
+  }
+
+  /** Hourly rollup on a stream — identical aggregation to the batch
+    * EventOps.hourlyRollup; run with complete output mode (the group count
+    * is bounded: hours × event types). */
+  def hourlyRollup(stream: DataFrame): DataFrame =
+    EventOps.hourlyRollup(stream)
+
+  /** Watermarked, append-mode hourly rollup: the production shape — late
+    * events beyond 1h are dropped, closed windows emit exactly once. */
+  def hourlyRollupWatermarked(stream: DataFrame): DataFrame = {
+    val withTs = stream
+      .withColumn("event_ts", timestamp_millis(EventOps.tsMs(stream)))
+    withTs
+      .withWatermark("event_ts", "1 hour")
+      .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
+      .agg(count("*").as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(unix_millis(col("window.start")).as("hour_ms"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** One closed user session (mirrors EventOps.sessionize's output row). */
+  final case class Session(user_id: Long, session_start_ms: Long,
+                           session_end_ms: Long, n_events: Long,
+                           sum_value: Double)
+
+  /** Open session state as a plain tuple (startMs, lastMs, nEvents,
+    * sumValue) — tuple encoders survive the state-store codegen path where
+    * nested case-class encoders do not. */
+  private type SessState = (Long, Long, Long, Double)
+
+  /** Gap-based streaming sessionization via flatMapGroupsWithState with
+    * event-time timeout: a session closes (and emits) when the watermark
+    * passes its last event + gap. Custom state instead of built-in windows
+    * because session windows are data-driven, not fixed-width — SURVEY.md
+    * §2.7's mapGroupsWithState surface. */
+  def sessionize(events: DataFrame, gapMs: Long = EventOps.SessionGapMs,
+                 watermarkDelay: String = "0 seconds"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    // the watermark column itself must reach the groupByKey (dropping it
+    // would detach the watermark from the stateful operator)
+    val typed = events
+      .withColumn("event_ts", timestamp_millis(EventOps.tsMs(events)))
+      .withWatermark("event_ts", watermarkDelay)
+      .select(col("user_id").cast("long"), col("event_ts"),
+        col("value").cast("double"))
+      .as[(Long, java.sql.Timestamp, Double)]
+
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[List[SessState], Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows0: Iterator[(Long, java.sql.Timestamp, Double)],
+         state: GroupState[List[SessState]]) =>
+          val rows = rows0.map { case (u, ts, v) => (u, ts.getTime, v) }
+          if (state.hasTimedOut) {
+            val wm = state.getCurrentWatermarkMs()
+            val (closed, open) = state.getOption.getOrElse(Nil)
+              .partition(s => s._2 + gapMs <= wm)
+            if (open.isEmpty) state.remove()
+            else {
+              state.update(open)
+              state.setTimeoutTimestamp(open.map(_._2).min + gapMs)
+            }
+            closed.sortBy(_._1).iterator.map(s =>
+              Session(user, s._1, s._2, s._3, s._4))
+          } else {
+            // merge the micro-batch's events into gap-separated sessions
+            val sorted = rows.toArray.sortBy(_._2)
+            var sessions = state.getOption.getOrElse(Nil).sortBy(_._1)
+            sorted.foreach { case (_, ms, v) =>
+              sessions match {
+                case (st, last, cnt, sm) :: tail
+                    if ms - last <= gapMs && ms >= st =>
+                  sessions = (st, math.max(last, ms), cnt + 1, sm + v) :: tail
+                case _ =>
+                  sessions = (ms, ms, 1L, v) :: sessions
+              }
+            }
+            state.update(sessions)
+            state.setTimeoutTimestamp(sessions.map(_._2).min + gapMs)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Run a streaming aggregation to completion over existing files
+    * (Trigger.AvailableNow + memory sink) and return the final table —
+    * used by the oracle-checked `streaming_hourly` query and tests. */
+  def runToMemory(agg: DataFrame, name: String,
+                  mode: String = "complete"): DataFrame = {
+    val spark = agg.sparkSession
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}
