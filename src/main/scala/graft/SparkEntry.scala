@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{QueriesAnn, QueriesDedup, QueriesGraph, QueriesRelational, QueriesStreaming, QueriesText, QueriesVector}
+import graft.queries.{QueriesAnn, QueriesDedup, QueriesGraph, QueriesMultimodal, QueriesRelational, QueriesStreaming, QueriesText, QueriesVector}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,12 +21,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesVector.queries ++ QueriesText.queries ++
       QueriesRelational.queries ++ QueriesGraph.queries ++
-      QueriesDedup.queries ++ QueriesAnn.queries ++ QueriesStreaming.queries
+      QueriesDedup.queries ++ QueriesAnn.queries ++
+      QueriesStreaming.queries ++ QueriesMultimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     QueriesVector.oracles ++ QueriesText.oracles ++
       QueriesRelational.oracles ++ QueriesGraph.oracles ++
-      QueriesDedup.oracles ++ QueriesAnn.oracles ++ QueriesStreaming.oracles
+      QueriesDedup.oracles ++ QueriesAnn.oracles ++
+      QueriesStreaming.oracles ++ QueriesMultimodal.oracles
 }
