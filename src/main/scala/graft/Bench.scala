@@ -1,5 +1,14 @@
 package graft
+
+import graft.build.RoarGraphBuilder
+import graft.core.{BuildParams, Metric, SearchParams}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Driver-run benchmark: one JSON line with per-query wall times plus the
+  * reference-style headline — RoarGraph build time and a beam-width sweep
+  * reporting QPS / recall@10 / mean latency, the same columns as the
+  * reference's search driver (tests/test_search_roargraph.cpp:231-236). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -11,15 +20,57 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // warmup: JVM/codegen/parquet-footer costs land here, not on the first
+    // timed query
+    spark.range(100000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
+
+    // ---- per-query wall times (the t2 surface) ----
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // ---- RoarGraph headline: build + L_pq sweep (BASELINE.md methodology) --
+    val emb = graft.core.Tables.vectors(spark, sfDir)
+    val nq = math.max(20, (emb.count() / 10).toInt)
+    val queries = emb.filter(col("id") < nq).cache()
+    val base = emb.filter(col("id") >= nq).cache()
+    val params = BuildParams(mSq = 40, mPjbp = 16, lPjpq = 100, metric = Metric.L2)
+
+    val tb0 = System.nanoTime()
+    val index = RoarGraphBuilder.build(base, queries, params)
+    val buildSec = (System.nanoTime() - tb0) / 1e9
+
+    val gt = graft.ops.KnnJoin(queries, base, 10, Metric.L2)
+      .select(col("query_id"), transform(col("knn"), _("id")).as("ids")).cache()
+    gt.count()
+    val nQueries = queries.count()
+
+    val sweep = Seq(10, 20, 50, 100, 200).map { lPq =>
+      val t0 = System.nanoTime()
+      val res = RoarGraphBuilder.searchBatch(index, queries,
+        SearchParams(k = 10, lPq = lPq, metric = Metric.L2))
+        .select(col("query_id"), col("ids")).cache()
+      res.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val recall = graft.eval.Eval.recallAtK(res, gt, 10)
+        .collect().head.getAs[Double]("recall_at_k")
+      res.unpersist()
+      (lPq, nQueries / sec, recall, sec * 1000.0 / nQueries)
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sweepJson = sweep.map { case (l, qps, rec, lat) =>
+      f"""{"l_pq":$l,"qps":$qps%.1f,"recall_at_10":$rec%.4f,"mean_latency_ms":$lat%.3f}"""
+    }.mkString("[", ",", "]")
+    val total = results.values.sum + buildSec + sweep.map(s => nQueries / s._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""roargraph":{"n_base":${index.n},"build_sec":$buildSec,"search_sweep":$sweepJson},""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }

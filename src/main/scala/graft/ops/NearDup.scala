@@ -30,7 +30,9 @@ object NearDup {
   val Bands = 4                   // 4 bands x 2 rows over the 8 minhashes
   val RowsPerBand = 2
   val SimHashBits = 24            // simhash width (fits comfortably in i64)
-  val SimHashChunks = 4           // 4 x 6-bit chunks for candidate banding
+  // 3 x 8-bit chunks: 256 bucket values per chunk keeps candidate blowup
+  // low; pigeonhole guarantees full recall for hamming <= chunks-1 = 2
+  val SimHashChunks = 3
 
   // ---- building blocks ----------------------------------------------------
 
@@ -99,7 +101,10 @@ object NearDup {
     * Jaccard verification. The canonical large-corpus near-dedup. */
   def minHashLsh(docs: DataFrame, threshold: Double = 0.5,
                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val sigs = signatures(docs, textCol, idCol)
+    // signatures are referenced 4x downstream (both join sides of candidate
+    // generation and of verification); without a cache the shingle hashing —
+    // the expensive single-pass stage — would re-run each time
+    val sigs = signatures(docs, textCol, idCol).cache()
     jaccardOnPairs(lshCandidates(sigs, idCol), sigs, threshold, idCol)
   }
 
@@ -121,10 +126,11 @@ object NearDup {
     * Candidates via chunk banding (pigeonhole: distance ≤ chunks-1
     * guarantees an equal chunk; larger distances may be missed — that is
     * the standard SimHash recall/cost trade). */
-  def simHashPairs(docs: DataFrame, maxHamming: Int = 6,
+  def simHashPairs(docs: DataFrame, maxHamming: Int = SimHashChunks - 1,
                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val bitsPerChunk = SimHashBits / SimHashChunks
-    val sh = docs.select(col(idCol), simHash(col(textCol)).as("simhash"))
+    // cached: the 24-aggregate simhash expression feeds both join sides
+    val sh = docs.select(col(idCol), simHash(col(textCol)).as("simhash")).cache()
     val banded = sh.select(col(idCol), col("simhash"),
       posexplode(array((0 until SimHashChunks).map { c =>
         shiftright(col("simhash"), c * bitsPerChunk)
