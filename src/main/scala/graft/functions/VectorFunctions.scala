@@ -26,16 +26,22 @@ object VectorFunctions {
   private def seqSum(terms: Column): Column =
     aggregate(terms, lit(0.0), (acc, x) => acc + x)
 
-  /** Squared L2 distance between two array<float|double> columns. */
-  def l2Sq(a: Column, b: Column): Column =
+  /** Squared L2 distance between two array<float> columns — native codegen
+    * expression; [[hofL2Sq]] is the higher-order-function equivalent
+    * (bit-identical, kept for the equivalence spec and double-array use). */
+  def l2Sq(a: Column, b: Column): Column = DistanceExpressions.l2Sq(a, b)
+
+  def hofL2Sq(a: Column, b: Column): Column =
     seqSum(zip_with(toDouble(a), toDouble(b), (x, y) => (x - y) * (x - y)))
 
   /** Dot product. */
   def dot(a: Column, b: Column): Column =
     seqSum(zip_with(toDouble(a), toDouble(b), (x, y) => x * y))
 
-  /** Negated inner product (smaller = closer). */
-  def negIp(a: Column, b: Column): Column = -dot(a, b)
+  /** Negated inner product (smaller = closer) — native codegen. */
+  def negIp(a: Column, b: Column): Column = DistanceExpressions.negIp(a, b)
+
+  def hofNegIp(a: Column, b: Column): Column = -dot(a, b)
 
   /** L2 norm (with sqrt). */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
@@ -49,8 +55,12 @@ object VectorFunctions {
   }
 
   /** Cosine distance in the reference's convention: negated cosine
-    * similarity, i.e. normalize-then-negIp. Range [-1, 1], smaller=closer. */
-  def cosineDist(a: Column, b: Column): Column = {
+    * similarity, i.e. normalize-then-negIp. Range [-1, 1], smaller=closer.
+    * Native codegen (one fused loop for dot + both norms). */
+  def cosineDist(a: Column, b: Column): Column =
+    DistanceExpressions.cosine(a, b)
+
+  def hofCosineDist(a: Column, b: Column): Column = {
     val na = l2Norm(a)
     val nb = l2Norm(b)
     -(dot(a, b) / (na * nb))

@@ -1,0 +1,56 @@
+package graft
+
+import graft.core.Tables
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+
+/** The native codegen distance expressions must be bit-identical to their
+  * higher-order-function equivalents (same widening, same accumulation
+  * order) and must actually run inside whole-stage codegen. */
+class NativeExpressionSpec extends SparkSpec {
+
+  private def pairs = {
+    val e = Tables.vectors(spark, sf0001)
+    val a = e.select(col("id").as("ia"), col("vec").as("va"))
+    val b = e.select(col("id").as("ib"), col("vec").as("vb"))
+    a.join(b, col("ib") === col("ia") + 7)
+  }
+
+  test("native l2/ip/cosine match HOF forms bit-exactly") {
+    val df = pairs.select(
+      VectorFunctions.l2Sq(col("va"), col("vb")).as("n_l2"),
+      VectorFunctions.hofL2Sq(col("va"), col("vb")).as("h_l2"),
+      VectorFunctions.negIp(col("va"), col("vb")).as("n_ip"),
+      VectorFunctions.hofNegIp(col("va"), col("vb")).as("h_ip"),
+      VectorFunctions.cosineDist(col("va"), col("vb")).as("n_cos"),
+      VectorFunctions.hofCosineDist(col("va"), col("vb")).as("h_cos"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), "l2 mismatch")
+      assert(r.getDouble(2) == r.getDouble(3), "ip mismatch")
+      assert(r.getDouble(4) == r.getDouble(5), "cosine mismatch")
+    }
+  }
+
+  test("native expressions stay inside whole-stage codegen") {
+    val df = pairs.select(VectorFunctions.l2Sq(col("va"), col("vb")).as("d"))
+    df.collect() // materialize so AQE reports the final executed plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_l2sq"), s"expression missing from plan:\n$plan")
+    // `*(n)` prefixes mark operators fused into a WholeStageCodegen stage
+    assert(plan.linesIterator.exists(l =>
+      l.contains("graft_l2sq") && l.contains("*(")),
+      s"distance projection not inside a codegen stage:\n$plan")
+  }
+
+  test("interpreted eval path (nullSafeEval) agrees with codegen") {
+    import graft.functions.L2SqDistance
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val x = ArrayData.toArrayData(Array(1.0f, 2.0f, 3.0f))
+    val y = ArrayData.toArrayData(Array(1.5f, 0.0f, -1.0f))
+    val e = L2SqDistance(null, null)
+    val d = e.nullSafeEval(x, y).asInstanceOf[Double]
+    assert(math.abs(d - (0.25 + 4.0 + 16.0)) < 1e-12)
+  }
+}
