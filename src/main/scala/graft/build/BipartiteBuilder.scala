@@ -44,6 +44,29 @@ object BipartiteBuilder {
       .agg(flatten(sort_array(collect_list(col("nbrs")))).as("nbrs"))
   }
 
+  /** Base-to-base 2-hop projection of the bipartite graph: the search-time
+    * expansion of Q2 SearchBipartiteGraph (src/index_bipartite.cpp:324-341
+    * expands base → query → base) materialized as an adjacency table, so
+    * the uniform beam-search kernel runs on it directly. One self-join of
+    * the edge list — at scale both sides shuffle on the query-node key
+    * (bounded by sum of query degrees, not |V|²). Neighbor lists sorted
+    * ascending for determinism.
+    *
+    * @param adj [src, nbrs] bipartite adjacency from [[build]]
+    * @param nd  base/query node-id boundary
+    */
+  def projectTwoHop(adj: DataFrame, nd: Long): DataFrame = {
+    val baseToQuery = adj.filter(col("src") < nd)
+      .select(col("src"), explode(col("nbrs")).as("qnode"))
+    val queryToBase = adj.filter(col("src") >= nd)
+      .select(col("src").as("qnode"), explode(col("nbrs")).as("dst"))
+    baseToQuery.join(queryToBase, "qnode")
+      .filter(col("dst") =!= col("src"))
+      .select(col("src"), col("dst")).distinct()
+      .groupBy("src")
+      .agg(sort_array(collect_set(col("dst"))).as("nbrs"))
+  }
+
   /** Degree statistics (A6, src/index_bipartite.cpp:105-138). */
   def degreeStats(adj: DataFrame): DataFrame =
     adj.select(size(col("nbrs")).as("deg"))

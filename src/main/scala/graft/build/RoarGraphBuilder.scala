@@ -83,7 +83,7 @@ object RoarGraphBuilder {
     * (CalculateProjectionep, src/index_bipartite.cpp:2004-2041). Always L2
     * to the centroid exactly like the reference (it uses `distance_` — but
     * on normalized data for cosine; we mirror by using the store metric). */
-  private[build] def entryPoint(vs: VecStore): Int = {
+  private[graft] def entryPoint(vs: VecStore): Int = {
     val cen = new Array[Float](vs.dim)
     var i = 0
     while (i < vs.n) {

@@ -1,0 +1,33 @@
+package graft.ops.graph
+
+import graft.build.{GraphIndex, RoarGraphBuilder}
+import graft.core.Metric
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Assemble a searchable [[GraphIndex]] from DataFrame form: any adjacency
+  * table [src, nbrs] over a vector table (id, vec) — the glue that lets the
+  * one beam-search kernel (Q1/Q2/Q4) run over RoarGraph, bipartite 2-hop
+  * projections, or any external graph. Entry point = centroid argmin
+  * (G22), matching the reference. */
+object GraphSearch {
+
+  def indexFromDF(adj: DataFrame, vectors: DataFrame, metric: Metric): GraphIndex = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val vecRows = vectors.select(col("id").cast("long"), col("vec"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val ids = vecRows.map(_._1)
+    val dense = ids.zipWithIndex.toMap
+    val vs = VecStore(vecRows.map(_._2), metric)
+    val adjArr = Array.fill(ids.length)(Array.empty[Int])
+    adj.select(col("src").cast("long"), col("nbrs"))
+      .as[(Long, Array[Long])].collect()
+      .foreach { case (src, nbrs) =>
+        dense.get(src).foreach { d =>
+          adjArr(d) = nbrs.flatMap(dense.get).map(_.toInt)
+        }
+      }
+    GraphIndex(adjArr, RoarGraphBuilder.entryPoint(vs), ids, vs)
+  }
+}

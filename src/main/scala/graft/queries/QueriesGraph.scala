@@ -53,6 +53,52 @@ object QueriesGraph {
        |FROM (SELECT * FROM qs UNION ALL SELECT * FROM bs)
        |ORDER BY src, pos""".stripMargin
 
+  // ---- bipartite 2-hop projection (Q2's expansion, SQL-expressible) ------
+
+  private def bipartite2HopQuery(s: SparkSession, dir: String): DataFrame = {
+    val knn = KnnJoin(qSide(s, dir), bSide(s, dir), 10, Metric.L2)
+      .select(col("query_id"), transform(col("knn"), _("id")).as("knn"))
+    val adj = BipartiteBuilder.build(knn, Nd, M)
+    BipartiteBuilder.projectTwoHop(adj, Nd)
+      .select(col("src"), posexplode(col("nbrs")).as(Seq("pos0", "nbr")))
+      .select(col("src"), (col("pos0") + 1).cast("int").as("pos"), col("nbr"))
+      .orderBy("src", "pos")
+  }
+
+  private val bipartite2HopOracle =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
+       |b AS (SELECT vec_id AS bid, embedding AS be FROM embeddings WHERE vec_id >= 20),
+       |knn AS (SELECT qid, bid,
+       |          row_number() OVER (PARTITION BY qid ORDER BY $l2SqlDist, bid) AS rnk
+       |        FROM q, b QUALIFY rnk <= $M),
+       |b2q AS (SELECT bid AS src, qid + $Nd AS qnode FROM knn WHERE rnk = 1),
+       |q2b AS (SELECT qid + $Nd AS qnode, bid AS dst FROM knn WHERE rnk >= 2),
+       |hop AS (SELECT DISTINCT src, dst FROM b2q JOIN q2b USING (qnode) WHERE dst != src),
+       |r AS (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) AS pos FROM hop)
+       |SELECT src, CAST(pos AS INT) AS pos, dst AS nbr FROM r ORDER BY src, pos""".stripMargin
+
+  // ---- bipartite search (Q2): beam over the 2-hop projection — rows-only --
+
+  private def bipartiteSearchRecall(s: SparkSession, dir: String): DataFrame = {
+    // the bipartite baseline needs |sampled queries| ≈ |base| for its 2-hop
+    // graph to be connected (the reference trains on 10M queries for 10M
+    // base, prepare_data.sh:27) — use the whole collection as the sample
+    val train = emb(s, dir)
+    val knnTrain = KnnJoin(train, bSide(s, dir), 10, Metric.L2)
+      .select(col("query_id"), transform(col("knn"), _("id")).as("knn"))
+    val adj = BipartiteBuilder.build(knnTrain, Nd, M)
+    val twoHop = BipartiteBuilder.projectTwoHop(adj, Nd)
+    val idx = graft.ops.graph.GraphSearch.indexFromDF(
+      twoHop, bSide(s, dir), Metric.L2)
+    val res = RoarGraphBuilder
+      .searchBatch(idx, qSide(s, dir), SearchParams(10, 100, Metric.L2))
+      .select(col("query_id"), col("ids"))
+    val gt = KnnJoin(qSide(s, dir), bSide(s, dir), 10, Metric.L2)
+      .select(col("query_id"), transform(col("knn"), _("id")).as("ids"))
+    Eval.recallAtK(res, gt, 10)
+      .select(round(col("recall_at_k"), 6).as("recall_at_k"), col("n_queries"))
+  }
+
   // ---- RoarGraph build + search (G1-G12, Q1) — rows-only -----------------
 
   private def buildParams = BuildParams(mSq = 40, mPjbp = 12, lPjpq = 60,
@@ -81,11 +127,14 @@ object QueriesGraph {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_bipartite" -> (bipartiteQuery _),
+    "graph_bipartite_2hop" -> (bipartite2HopQuery _),
+    "bipartite_search_recall" -> (bipartiteSearchRecall _),
     "roargraph_build_stats" -> (roargraphStats _),
     "roargraph_search_recall" -> (roargraphRecall _),
   )
 
   val oracles: Map[String, String] = Map(
     "graph_bipartite" -> bipartiteOracle,
+    "graph_bipartite_2hop" -> bipartite2HopOracle,
   )
 }

@@ -133,6 +133,47 @@ object QueriesVector {
        |        FROM (SELECT DISTINCT qid FROM q) q LEFT JOIN hits ON q.qid = hits.qid)
        |SELECT round(avg(recall), 6) AS recall_at_k, count(*) AS n_queries FROM per""".stripMargin
 
+  // ---- relative distance error (E2) of LSH-ANN vs exact ------------------
+
+  /** Mean relative distance error (reference ComputeRderr,
+    * tests/test_search_roargraph.cpp:38-62) of the LSH-bucketed ANN result
+    * against exact kNN distances. Queries whose bucket yields fewer than k
+    * results are excluded on both sides (no padding semantics). */
+  private def rderrQuery(s: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val res = graft.ops.AnnSearch.lshTopK(qSide(s, dir), bSide(s, dir), k, Metric.L2)
+      .groupBy("query_id")
+      .agg(sort_array(collect_list(struct(col("rank"), col("dist")))).as("rd0"))
+      .filter(size(col("rd0")) >= k)
+      .select(col("query_id"), transform(col("rd0"), _("dist")).as("dists"))
+    val gt = KnnJoin(qSide(s, dir), bSide(s, dir), k, Metric.L2)
+      .select(col("query_id"), transform(col("knn"), _("dist")).as("dists"))
+    Eval.relativeDistError(res, gt, k, "l2")
+      .select(round(col("mean_rderr"), 6).as("mean_rderr"))
+  }
+
+  private val rderrOracle = {
+    val bucket = (0 until graft.ops.AnnSearch.LshBits).map { d =>
+      s"(CASE WHEN CAST(embedding[${2 * d + 1}] AS DOUBLE) - CAST(embedding[${2 * d + 2}] AS DOUBLE) >= 0 THEN ${1L << d} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, $bucket AS bucket
+       |           FROM embeddings WHERE vec_id < 20),
+       |b AS (SELECT vec_id AS bid, embedding AS be, $bucket AS bucket
+       |      FROM embeddings WHERE vec_id >= 20),
+       |ap AS (SELECT qid, bid, $l2SqlDist AS dist,
+       |         row_number() OVER (PARTITION BY qid ORDER BY $l2SqlDist, bid) AS rnk
+       |       FROM q JOIN b USING (bucket) QUALIFY rnk <= 10),
+       |fullq AS (SELECT qid FROM ap GROUP BY qid HAVING count(*) = 10),
+       |gt AS (SELECT qid, bid, $l2SqlDist AS dist,
+       |         row_number() OVER (PARTITION BY qid ORDER BY $l2SqlDist, bid) AS rnk
+       |       FROM q, b QUALIFY rnk <= 10),
+       |e AS (SELECT ap.qid, abs(ap.dist - gt.dist) / abs(gt.dist) AS err
+       |      FROM ap JOIN gt ON ap.qid = gt.qid AND ap.rnk = gt.rnk
+       |      JOIN fullq ON fullq.qid = ap.qid),
+       |per AS (SELECT qid, sum(err) AS err_sum FROM e GROUP BY qid)
+       |SELECT round(avg(err_sum) / 10, 6) AS mean_rderr FROM per""".stripMargin
+  }
+
   // ---- degree stats (A6) over the kNN-derived reverse graph --------------
 
   private def degreeStatsQuery(s: SparkSession, dir: String): DataFrame = {
@@ -163,6 +204,7 @@ object QueriesVector {
     "vec_mean_pool" -> (meanPoolQuery _),
     "vec_distances" -> (distancesQuery _),
     "knn_recall" -> (recallQuery _),
+    "knn_rderr" -> (rderrQuery _),
     "graph_degree_stats" -> (degreeStatsQuery _),
   )
 
@@ -175,6 +217,7 @@ object QueriesVector {
     "vec_mean_pool" -> meanPoolOracle,
     "vec_distances" -> distancesOracle,
     "knn_recall" -> recallOracle,
+    "knn_rderr" -> rderrOracle,
     "graph_degree_stats" -> degreeStatsOracle,
   )
 }
