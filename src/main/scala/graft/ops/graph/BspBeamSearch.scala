@@ -1,0 +1,115 @@
+package graft.ops.graph
+
+import graft.core.Metric
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** BSP (bulk-synchronous) graph search — the 100 TB-scale path for Q1 when
+  * the index does NOT fit executor memory (SURVEY.md §7.4 item 1). The
+  * broadcast kernel (RoarGraphBuilder.searchBatch) is the fast path; this
+  * variant keeps the graph and vectors as DataFrames (bucketed/partitioned
+  * by node id at scale) and advances every query's beam one synchronized
+  * hop per round:
+  *
+  *   round = explode frontiers → join adjacency (shuffle keyed by node) →
+  *           join vectors (same key) → score → per-query merge into a
+  *           bounded (dist,id)-sorted pool → next frontier = best
+  *           unexpanded pool entries.
+  *
+  * The per-round dataflow is three keyed joins — no broadcast, no driver
+  * data, lineage cut per round via localCheckpoint. Policy difference vs
+  * the single-node kernel: the visited set is the pool itself (entries
+  * evicted past L may be revisited), which is the standard batch
+  * approximation; the recall gate in BspBeamSearchSpec measures it.
+  */
+object BspBeamSearch {
+
+  /** (dist, id, expanded) pool entry; pools stay sorted by (dist, id). */
+  final case class Entry(dist: Double, id: Long, expanded: Boolean)
+
+  /** @param adj      [src: long, nbrs: array<long>]
+    * @param vectors  [id: long, vec: array<float>]
+    * @param queries  [id: long, vec: array<float>]
+    * @param ep       entry-point node id (external)
+    * @param frontierWidth beams expand this many pool entries per round
+    * @return [query_id, ids: array<long>, dists: array<double>] top-k
+    */
+  def search(adj: DataFrame, vectors: DataFrame, queries: DataFrame,
+             k: Int, l: Int, ep: Long, metric: Metric,
+             frontierWidth: Int = 4, maxRounds: Int = 64): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    require(!metric.needNormalize,
+      "BSP search expects pre-normalized inputs for cosine (normalize-then-IP)")
+
+    val qvecs = queries.select(col("id").cast("long").as("qid"), col("vec").as("qvec"))
+
+    def mergePool(pool: Array[Entry], cands: Iterator[(Long, Double)]): Array[Entry] = {
+      val seen = new java.util.HashMap[Long, Entry]()
+      pool.foreach(e => seen.put(e.id, e))
+      cands.foreach { case (id, d) =>
+        if (!seen.containsKey(id)) seen.put(id, Entry(d, id, expanded = false))
+      }
+      val arr = new Array[Entry](seen.size)
+      val it = seen.values().iterator()
+      var i = 0
+      while (it.hasNext) { arr(i) = it.next(); i += 1 }
+      arr.sortBy(e => (e.dist, e.id)).take(l)
+    }
+
+    // ---- init: every pool = {ep} ----
+    val epVecRow = vectors.filter(col("id") === ep).select("vec")
+      .as[Array[Float]].collect()
+    require(epVecRow.nonEmpty, s"entry point $ep not in vectors")
+    val epVec = epVecRow.head
+    var state: Dataset[(Long, Array[Entry])] = qvecs
+      .as[(Long, Array[Float])]
+      .map { case (qid, qv) =>
+        (qid, Array(Entry(metric.dist(qv, epVec), ep, expanded = false)))
+      }.localCheckpoint()
+
+    var round = 0
+    var remaining = 1L
+    while (remaining > 0 && round < maxRounds) {
+      // frontier: best `frontierWidth` unexpanded entries per query
+      val frontier = state.flatMap { case (qid, pool) =>
+        pool.iterator.filter(!_.expanded).take(frontierWidth)
+          .map(e => (qid, e.id))
+      }.toDF("qid", "node")
+
+      // candidate scoring: two keyed joins, one scored row per (query, nbr)
+      val cands = frontier
+        .join(adj, col("node") === col("src"))
+        .select(col("qid"), explode(col("nbrs")).as("nbr"))
+        .distinct()
+        .join(vectors, col("nbr") === col("id")) // shuffle keyed by node id
+        .select(col("qid"), col("nbr"), col("vec"))
+        .join(qvecs, "qid")
+        .as[(Long, Long, Array[Float], Array[Float])]
+        .map { case (qid, nbr, nvec, qv) => (qid, nbr, metric.dist(qv, nvec)) }
+
+      // per-query merge: mark this round's frontier expanded, fold in cands
+      val fw = frontierWidth
+      state = state
+        .groupByKey(_._1)
+        .cogroup(cands.groupByKey(_._1)) { (qid, st, cs) =>
+          st.map { case (_, pool) =>
+            var budget = fw
+            val marked = pool.map { e =>
+              if (!e.expanded && budget > 0) { budget -= 1; e.copy(expanded = true) }
+              else e
+            }
+            (qid, mergePool(marked, cs.map(c => (c._2, c._3))))
+          }
+        }.localCheckpoint() // cut lineage: each round is one materialized BSP step
+
+      remaining = state.filter(_._2.exists(!_.expanded)).count()
+      round += 1
+    }
+
+    state.map { case (qid, pool) =>
+      val top = pool.take(k)
+      (qid, top.map(_.id), top.map(_.dist))
+    }.toDF("query_id", "ids", "dists")
+  }
+}
