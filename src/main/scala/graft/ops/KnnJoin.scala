@@ -102,13 +102,16 @@ object KnnJoin {
 
     val baseDs: Dataset[(Long, Array[Float])] =
       base.select(col("id").cast("long"), col("vec")).as[(Long, Array[Float])]
-    val qRows: Array[(Long, Array[Float])] =
-      queries.select(col("id").cast("long"), col("vec"))
-        .as[(Long, Array[Float])].collect()
-    require(qRows.nonEmpty, "kNN join: empty query set")
+    // stream query blocks through the driver one at a time (toLocalIterator
+    // runs one job per partition lazily) — the driver never holds the whole
+    // query side, and each block's bytes live in spillable broadcast storage
+    import scala.jdk.CollectionConverters._
+    val qIt = queries.select(col("id").cast("long"), col("vec"))
+      .as[(Long, Array[Float])].toLocalIterator().asScala
+    require(qIt.hasNext, "kNN join: empty query set")
 
     val norm = metric.needNormalize
-    val blocks = qRows.grouped(queryBlockRows).toSeq
+    val blocks = qIt.grouped(queryBlockRows).map(_.toArray).toSeq
     val partialBlocks = blocks.map { blk =>
       val qWide: Array[(Long, Array[Double])] =
         blk.map { case (id, v) => (id, widen(v, norm)) }

@@ -120,6 +120,67 @@ object QueriesRelational {
       |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- JSON props extraction ----------------------------------------------
+
+  /** Semi-structured surface: parse the events `props` JSON column and
+    * aggregate the extracted field — the standard telemetry-payload shape. */
+  private def jsonPropsQuery(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy("event_type")
+      .agg(count("*").as("n"), sum("k").as("sum_k"),
+        round(avg("k"), 6).as("avg_k"), min("k").as("min_k"),
+        max("k").as("max_k"))
+      .orderBy("event_type")
+
+  private val jsonPropsOracle =
+    """SELECT event_type, count(*) AS n,
+      |  sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+      |  round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
+      |  CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
+      |  CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---- rollup (multi-level aggregation) -----------------------------------
+
+  private def rollupQuery(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    e.select(col("event_type"),
+        (floor(EventOps.tsMs(e) / 86400000L) * 86400000L).cast("long").as("day_ms"),
+        col("value"))
+      .rollup("event_type", "day_ms")
+      .agg(count("*").as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("day_ms"), lit(-1L)).as("day_ms"),
+        col("n"), col("sum_value"))
+      .orderBy("event_type", "day_ms")
+  }
+
+  private val rollupOracle =
+    """SELECT coalesce(event_type, 'ALL') AS event_type,
+      |  coalesce(epoch_ms(date_trunc('day', ts)), -1) AS day_ms,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY ROLLUP (event_type, epoch_ms(date_trunc('day', ts)))
+      |ORDER BY event_type, day_ms""".stripMargin
+
+  // ---- set op: BUILDING customers without a big-ticket order (EXCEPT) -----
+
+  private def exceptQuery(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+      .except(t(s, dir, "orders").filter(col("o_totalprice") > 450000)
+        .select(col("o_custkey").as("c_custkey")))
+      .orderBy("c_custkey")
+
+  private val exceptOracle =
+    """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |EXCEPT SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 450000
+      |ORDER BY c_custkey""".stripMargin
+
   // ---- registry -----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -128,6 +189,9 @@ object QueriesRelational {
     "window_top_orders" -> (topOrders _),
     "events_sessionize" -> (sessionizeQuery _),
     "events_hourly" -> (hourlyQuery _),
+    "events_json_props" -> (jsonPropsQuery _),
+    "events_rollup" -> (rollupQuery _),
+    "customers_except_bigorders" -> (exceptQuery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -136,5 +200,8 @@ object QueriesRelational {
     "window_top_orders" -> topOrdersOracle,
     "events_sessionize" -> sessionizeOracle,
     "events_hourly" -> hourlyOracle,
+    "events_json_props" -> jsonPropsOracle,
+    "events_rollup" -> rollupOracle,
+    "customers_except_bigorders" -> exceptOracle,
   )
 }
