@@ -50,6 +50,19 @@ class RoarGraphSpec extends SparkSpec {
     assert(recall >= 0.95, s"recall@10 = $recall")
   }
 
+  test("inner-product metric (the reference's primary) also clears the recall gate") {
+    val ipParams = params.copy(metric = Metric.InnerProduct)
+    val ipIndex = RoarGraphBuilder.build(baseDf, queriesDf, ipParams)
+    val res = RoarGraphBuilder.searchBatch(ipIndex, queriesDf,
+      SearchParams(k = 10, lPq = 100, metric = Metric.InnerProduct))
+      .select(col("query_id"), col("ids"))
+    val gt = KnnJoin(queriesDf, baseDf, 10, Metric.InnerProduct)
+      .select(col("query_id"), transform(col("knn"), _("id")).as("ids"))
+    val recall = graft.eval.Eval.recallAtK(res, gt, 10)
+      .collect().head.getAs[Double]("recall_at_k")
+    assert(recall >= 0.9, s"IP recall@10 = $recall")
+  }
+
   test("graph save/load round-trips") {
     implicit val s = spark
     val dir = java.nio.file.Files.createTempDirectory("graft-graph").toString
