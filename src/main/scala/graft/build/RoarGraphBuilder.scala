@@ -167,17 +167,22 @@ object RoarGraphBuilder {
           }
         }
       }
-    val forward = proposals.groupByKey(_._1)
+    val forwardRdd = proposals.groupByKey(_._1)
       .mapGroups { (pivot, it) =>
         val v = bcVs.value
         val union = it.flatMap(_._2).toArray.distinct
           .map(c => (c, v.dist(pivot, c)))
         (pivot, OcclusionPrune.prune(union, pivot, params.mPjbp, v))
-      }.collect().toMap
+      }.rdd
 
     // ---- phase 1b/1c: reverse sweep + overflow re-prune (G4/G5/G8) ----
-    val fwdDs = sc.parallelize(
-      (0 until n).map(i => (i, forward.getOrElse(i, Array.empty[Int]))), 32)
+    // stays distributed end-to-end: nodes without a forward list join in
+    // via leftOuterJoin; nothing reaches the driver until the phase-end
+    // broadcast snapshot (which the reference's shared-memory model also
+    // requires in full)
+    val fwdDs = sc.parallelize(0 until n, 32).map(i => (i, ()))
+      .leftOuterJoin(forwardRdd)
+      .map { case (i, (_, fwd)) => (i, fwd.getOrElse(Array.empty[Int])) }
     val revDs = fwdDs.flatMap { case (src, nbrs) => nbrs.map(d => (d, src)) }
     val projection: Array[Array[Int]] = {
       val merged = fwdDs.cogroup(revDs).map { case (node, (fwdIt, revIt)) =>

@@ -17,6 +17,21 @@ class StreamingSpec extends SparkSpec {
     assert(res.exceptAll(batch).isEmpty && batch.exceptAll(res).isEmpty)
   }
 
+  test("hourly rollup is batch-equal across multiple micro-batches") {
+    // split the events table into several files and feed them one per
+    // micro-batch — state must merge identically to the single-batch case
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    Tables.events(spark, sf0001).repartition(3).write.mode("overwrite")
+      .parquet(s"$dir/events")
+    val schema = spark.read.parquet(s"$dir/events").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/events")
+    val res = StreamingEvents.runToMemory(
+      StreamingEvents.hourlyRollup(stream), "test_stream_hourly_mb")
+    val batch = EventOps.hourlyRollup(Tables.events(spark, sf0001))
+    assert(res.exceptAll(batch).isEmpty && batch.exceptAll(res).isEmpty)
+  }
+
   test("streaming sessionize emits exactly the watermark-closed batch sessions") {
     val stream = StreamingEvents.readEvents(spark, s"$sf0001/events.parquet")
     val sessions = StreamingEvents.sessionize(stream)
