@@ -52,20 +52,22 @@ object Bench {
     val sweep = Seq(10, 20, 50, 100, 200).map { lPq =>
       val t0 = System.nanoTime()
       val res = RoarGraphBuilder.searchBatch(index, queries,
-        SearchParams(k = 10, lPq = lPq, metric = Metric.L2))
-        .select(col("query_id"), col("ids")).cache()
+        SearchParams(k = 10, lPq = lPq, metric = Metric.L2)).cache()
       res.count()
       val sec = (System.nanoTime() - t0) / 1e9
-      val recall = graft.eval.Eval.recallAtK(res, gt, 10)
+      val recall = graft.eval.Eval.recallAtK(
+        res.select(col("query_id"), col("ids")), gt, 10)
         .collect().head.getAs[Double]("recall_at_k")
+      val ch = res.agg(avg("cmps"), avg("hops")).collect().head
       res.unpersist()
-      (lPq, nQueries / sec, recall, sec * 1000.0 / nQueries)
+      (lPq, nQueries / sec, recall, sec * 1000.0 / nQueries,
+        ch.getDouble(0), ch.getDouble(1))
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val sweepJson = sweep.map { case (l, qps, rec, lat) =>
-      f"""{"l_pq":$l,"qps":$qps%.1f,"recall_at_10":$rec%.4f,"mean_latency_ms":$lat%.3f}"""
+    val sweepJson = sweep.map { case (l, qps, rec, lat, cmps, hops) =>
+      f"""{"l_pq":$l,"qps":$qps%.1f,"recall_at_10":$rec%.4f,"mean_latency_ms":$lat%.3f,"avg_cmps":$cmps%.1f,"avg_hops":$hops%.1f}"""
     }.mkString("[", ",", "]")
     val total = results.values.sum + buildSec + sweep.map(s => nQueries / s._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
