@@ -37,16 +37,21 @@ object AnnSearch {
         lit(1L << d)).otherwise(lit(0L))
     }.reduceLeft(_ + _)
 
-  /** Per-bucket top-k: queries only compete against base vectors in their
-    * own bucket. Output (query_id, rank, base_id, dist). */
+  /** Bucketed top-k with multi-probe: each query competes against its own
+    * bucket plus every bucket at Hamming distance 1 (flip one hyperplane
+    * bit) — the standard multi-probe LSH recall lift, still one bucket-
+    * keyed shuffle scanning (1+bits)/2^bits of the base per query.
+    * Output (query_id, rank, base_id, dist). */
   def lshTopK(queries: DataFrame, base: DataFrame, k: Int, metric: Metric,
               bits: Int = LshBits): DataFrame = {
     val metricName = metric match {
       case Metric.L2 => "l2"; case Metric.InnerProduct => "ip"
       case Metric.Cosine => "cosine"
     }
+    val qb = lshBucket(col("vec"), bits)
+    val probeList = array(qb +: (0 until bits).map(j => qb.bitwiseXOR(lit(1L << j))): _*)
     val q = queries.select(col("id").as("query_id"), col("vec").as("qvec"),
-      lshBucket(col("vec"), bits).as("bucket"))
+      explode(probeList).as("bucket"))
     val b = base.select(col("id").as("base_id"), col("vec").as("bvec"),
       lshBucket(col("vec"), bits).as("bucket"))
     val scored = q.join(b, "bucket")

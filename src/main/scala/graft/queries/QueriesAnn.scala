@@ -36,6 +36,11 @@ object QueriesAnn {
       s"(CASE WHEN CAST($v[${2 * d + 1}] AS DOUBLE) - CAST($v[${2 * d + 2}] AS DOUBLE) >= 0 THEN ${1L << d} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** multi-probe list: own bucket + all hamming-1 buckets. */
+  private val probeSql: String =
+    ("bucket" +: (0 until AnnSearch.LshBits).map(j => s"xor(bucket, ${1L << j})"))
+      .mkString("[", ", ", "]")
+
   // ---- LSH top-k ----------------------------------------------------------
 
   private def lshTopKQuery(s: SparkSession, dir: String): DataFrame =
@@ -45,8 +50,9 @@ object QueriesAnn {
       .orderBy("query_id", "rank")
 
   private val lshTopKOracle =
-    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, ${bucketSql("embedding")} AS bucket
-       |           FROM embeddings WHERE vec_id < 20),
+    s"""WITH q0 AS (SELECT vec_id AS qid, embedding AS qe, ${bucketSql("embedding")} AS bucket
+       |            FROM embeddings WHERE vec_id < 20),
+       |q AS (SELECT qid, qe, unnest($probeSql) AS bucket FROM q0),
        |b AS (SELECT vec_id AS bid, embedding AS be, ${bucketSql("embedding")} AS bucket
        |      FROM embeddings WHERE vec_id >= 20),
        |d AS (SELECT qid, bid, $l2SqlDist AS dist,
@@ -68,8 +74,9 @@ object QueriesAnn {
   }
 
   private val lshRecallOracle =
-    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, ${bucketSql("embedding")} AS bucket
-       |           FROM embeddings WHERE vec_id < 20),
+    s"""WITH q0 AS (SELECT vec_id AS qid, embedding AS qe, ${bucketSql("embedding")} AS bucket
+       |            FROM embeddings WHERE vec_id < 20),
+       |q AS (SELECT qid, qe, unnest($probeSql) AS bucket FROM q0),
        |b AS (SELECT vec_id AS bid, embedding AS be, ${bucketSql("embedding")} AS bucket
        |      FROM embeddings WHERE vec_id >= 20),
        |ap AS (SELECT qid, bid,
@@ -77,7 +84,7 @@ object QueriesAnn {
        |       FROM q JOIN b USING (bucket) QUALIFY rnk <= $K),
        |gt AS (SELECT qid, bid,
        |         row_number() OVER (PARTITION BY qid ORDER BY $l2SqlDist, bid) AS rnk
-       |       FROM q, b QUALIFY rnk <= $K),
+       |       FROM (SELECT qid, qe FROM q0) q, b QUALIFY rnk <= $K),
        |hits AS (SELECT gt.qid, count(*) AS h FROM gt
        |         JOIN ap ON gt.qid = ap.qid AND gt.bid = ap.bid GROUP BY gt.qid),
        |per AS (SELECT q.qid, coalesce(h, 0) / $K.0 AS recall

@@ -156,8 +156,11 @@ object QueriesVector {
     val bucket = (0 until graft.ops.AnnSearch.LshBits).map { d =>
       s"(CASE WHEN CAST(embedding[${2 * d + 1}] AS DOUBLE) - CAST(embedding[${2 * d + 2}] AS DOUBLE) >= 0 THEN ${1L << d} ELSE 0 END)"
     }.mkString("(", " + ", ")")
-    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, $bucket AS bucket
-       |           FROM embeddings WHERE vec_id < 20),
+    val probes = ("bucket" +: (0 until graft.ops.AnnSearch.LshBits)
+      .map(j => s"xor(bucket, ${1L << j})")).mkString("[", ", ", "]")
+    s"""WITH q0 AS (SELECT vec_id AS qid, embedding AS qe, $bucket AS bucket
+       |            FROM embeddings WHERE vec_id < 20),
+       |q AS (SELECT qid, qe, unnest($probes) AS bucket FROM q0),
        |b AS (SELECT vec_id AS bid, embedding AS be, $bucket AS bucket
        |      FROM embeddings WHERE vec_id >= 20),
        |ap AS (SELECT qid, bid, $l2SqlDist AS dist,
@@ -166,7 +169,7 @@ object QueriesVector {
        |fullq AS (SELECT qid FROM ap GROUP BY qid HAVING count(*) = 10),
        |gt AS (SELECT qid, bid, $l2SqlDist AS dist,
        |         row_number() OVER (PARTITION BY qid ORDER BY $l2SqlDist, bid) AS rnk
-       |       FROM q, b QUALIFY rnk <= 10),
+       |       FROM (SELECT qid, qe FROM q0) q, b QUALIFY rnk <= 10),
        |e AS (SELECT ap.qid, abs(ap.dist - gt.dist) / abs(gt.dist) AS err
        |      FROM ap JOIN gt ON ap.qid = gt.qid AND ap.rnk = gt.rnk
        |      JOIN fullq ON fullq.qid = ap.qid),
