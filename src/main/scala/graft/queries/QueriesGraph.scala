@@ -116,11 +116,18 @@ object QueriesGraph {
     val idx = RoarGraphBuilder.build(bSide(s, dir), qSide(s, dir), buildParams)
     val res = RoarGraphBuilder
       .searchBatch(idx, qSide(s, dir), SearchParams(10, 100, Metric.L2))
-      .select(col("query_id"), col("ids"))
-    val gt = KnnJoin(qSide(s, dir), bSide(s, dir), 10, Metric.L2)
+      .cache()
+    val gtKnn = KnnJoin(qSide(s, dir), bSide(s, dir), 10, Metric.L2).cache()
+    val gtIds = gtKnn
       .select(col("query_id"), transform(col("knn"), _("id")).as("ids"))
-    Eval.recallAtK(res, gt, 10)
-      .select(round(col("recall_at_k"), 6).as("recall_at_k"), col("n_queries"))
+    val recall = Eval.recallAtK(res.select(col("query_id"), col("ids")), gtIds, 10)
+    val rderr = Eval.relativeDistError(
+      res.select(col("query_id"), col("dists")),
+      gtKnn.select(col("query_id"), transform(col("knn"), _("dist")).as("dists")),
+      10, "l2")
+    recall.crossJoin(rderr)
+      .select(round(col("recall_at_k"), 6).as("recall_at_k"),
+        col("n_queries"), round(col("mean_rderr"), 6).as("mean_rderr"))
   }
 
   // ---- registry -----------------------------------------------------------

@@ -120,6 +120,33 @@ object QueriesRelational {
       |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- TPC-H Q14-style promo revenue (LIKE + conditional aggregation) -----
+
+  private def q14(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val p = t(s, dir, "part")
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .agg(
+        (sum(when(col("p_type").startsWith("PROMO"),
+          dec("l_extendedprice") * (lit(1) - dec("l_discount")))
+          .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") * 100.0 /
+          sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")))
+            .cast("double")).as("promo_revenue_pct"),
+        count("*").as("n_rows"))
+      .select(round(col("promo_revenue_pct"), 6).as("promo_revenue_pct"),
+        col("n_rows"))
+  }
+
+  private val q14Oracle =
+    """SELECT round(
+      |  CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+      |        THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))
+      |        ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) * 100.0
+      |  / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE),
+      |  6) AS promo_revenue_pct,
+      |  count(*) AS n_rows
+      |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin
+
   // ---- JSON props extraction ----------------------------------------------
 
   /** Semi-structured surface: parse the events `props` JSON column and
@@ -186,6 +213,7 @@ object QueriesRelational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tpch_q1" -> (q1 _),
     "tpch_q3_top_revenue" -> (q3 _),
+    "tpch_q14_promo" -> (q14 _),
     "window_top_orders" -> (topOrders _),
     "events_sessionize" -> (sessionizeQuery _),
     "events_hourly" -> (hourlyQuery _),
@@ -197,6 +225,7 @@ object QueriesRelational {
   val oracles: Map[String, String] = Map(
     "tpch_q1" -> q1Oracle,
     "tpch_q3_top_revenue" -> q3Oracle,
+    "tpch_q14_promo" -> q14Oracle,
     "window_top_orders" -> topOrdersOracle,
     "events_sessionize" -> sessionizeOracle,
     "events_hourly" -> hourlyOracle,
