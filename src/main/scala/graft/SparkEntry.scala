@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{QueriesAnn, QueriesDedup, QueriesGraph, QueriesMultimodal, QueriesRelational, QueriesStreaming, QueriesText, QueriesVector}
+import graft.queries.{QueriesAnn, QueriesDedup, QueriesGraph, QueriesMultimodal, QueriesPipeline, QueriesRelational, QueriesStreaming, QueriesText, QueriesVector}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +22,8 @@ object SparkEntry {
     QueriesVector.queries ++ QueriesText.queries ++
       QueriesRelational.queries ++ QueriesGraph.queries ++
       QueriesDedup.queries ++ QueriesAnn.queries ++
-      QueriesStreaming.queries ++ QueriesMultimodal.queries
+      QueriesStreaming.queries ++ QueriesMultimodal.queries ++
+      QueriesPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
     QueriesVector.oracles ++ QueriesText.oracles ++
       QueriesRelational.oracles ++ QueriesGraph.oracles ++
       QueriesDedup.oracles ++ QueriesAnn.oracles ++
-      QueriesStreaming.oracles ++ QueriesMultimodal.oracles
+      QueriesStreaming.oracles ++ QueriesMultimodal.oracles ++
+      QueriesPipeline.oracles
 }

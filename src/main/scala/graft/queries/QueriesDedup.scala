@@ -19,13 +19,13 @@ object QueriesDedup {
   // ---- shared SQL fragments (mirror NearDup building blocks) -------------
 
   /** char-level poly hash of string expr `e`, mod HashMod. */
-  private def charHashSql(e: String): String =
+  private[queries] def charHashSql(e: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))), " +
       s"(a, x) -> (a * $CharBase + x) % $HashMod)"
 
   /** sorted distinct shingle hashes of `toks` (a list<varchar> expr). */
-  private def shinglesSql(toks: String): String = {
+  private[queries] def shinglesSql(toks: String): String = {
     val n = ShingleSize
     s"list_sort(list_distinct(list_transform(" +
       s"[array_to_string($toks[i:i+${n - 1}], ' ') " +
@@ -33,13 +33,13 @@ object QueriesDedup {
       s"s -> ${charHashSql("s")})))"
   }
 
-  private def sigSql(sh: String): String =
+  private[queries] def sigSql(sh: String): String =
     MinHashParams.map { case (a, b) =>
       s"list_min(list_transform($sh, x -> (x * $a + $b) % $HashMod))"
     }.mkString("[", ", ", "]")
 
   /** band keys from a sig list expr (1-indexed in DuckDB). */
-  private def bandKeysSql(sig: String): String =
+  private[queries] def bandKeysSql(sig: String): String =
     (0 until Bands).map { bnd =>
       (0 until RowsPerBand).map(r => s"$sig[${bnd * RowsPerBand + r + 1}]")
         .reduceLeft((acc, x) => s"($acc * $HashMod + $x)")

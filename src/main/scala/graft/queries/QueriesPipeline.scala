@@ -1,0 +1,77 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.ops.{Dedup, NearDup, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The composed training-data pipeline — the engine's end-to-end story:
+  *
+  *   corpus → exact dedup (keep min-id per content hash)
+  *          → quality filter (token count, stopword ratio)
+  *          → near-dup removal (MinHash-LSH pairs; drop the higher id)
+  *          → surviving document ids.
+  *
+  * Every stage is one of the already-verified operators; the composition
+  * itself is hash-checked against a DuckDB oracle built from the same
+  * constants. At 100 TB this is exactly three corpus passes: a hash
+  * shuffle, a column-expression scan, and the LSH band shuffle — the text
+  * never moves after the scan. */
+object QueriesPipeline {
+
+  private val MinTokens = 20
+  private val MaxStopwordRatio = 0.5
+  private val JaccardThreshold = 0.5
+
+  private def pipelineQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).cache()
+    // stage 1: exact dedup keepers
+    val keepers = Dedup.dedupIds(docs)
+    val d1 = docs.join(keepers, "doc_id")
+    // stage 2: quality filter
+    val q = TextOps.qualityStats(d1)
+      .filter(col("n_tokens") >= MinTokens &&
+        col("stopword_ratio") <= MaxStopwordRatio)
+      .select("doc_id")
+    val d2 = d1.join(q, "doc_id")
+    // stage 3: near-dup removal — drop the higher id of every LSH pair
+    val losers = NearDup.minHashLsh(d2, JaccardThreshold)
+      .select(col("id_b").as("doc_id")).distinct()
+    d2.select("doc_id").except(losers)
+      .orderBy("doc_id")
+  }
+
+  private val pipelineOracle = {
+    import QueriesDedup.{bandKeysSql, shinglesSql, sigSql}
+    val stop = TextOps.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |d1 AS (SELECT d.doc_id, d.text FROM documents d JOIN keep USING (doc_id)),
+       |t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM d1),
+       |d2 AS (SELECT doc_id, text, toks FROM t
+       |       WHERE len(toks) >= $MinTokens
+       |         AND CAST(len(list_filter(toks, x -> list_contains($stop, x))) AS DOUBLE)
+       |             / len(toks) <= $MaxStopwordRatio),
+       |s AS (SELECT doc_id, ${shinglesSql("toks")} AS sh FROM d2),
+       |g AS (SELECT doc_id, sh, ${sigSql("sh")} AS sig FROM s),
+       |bands AS (SELECT doc_id, unnest(${bandKeysSql("sig")}) AS key,
+       |                 unnest(range(0, ${NearDup.Bands})) AS band FROM g),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |losers AS (SELECT DISTINCT id_b AS doc_id FROM cand
+       |           JOIN s sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b
+       |           WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |                 / len(list_distinct(list_concat(sa.sh, sb.sh))) >= $JaccardThreshold)
+       |SELECT doc_id FROM d2
+       |EXCEPT SELECT doc_id FROM losers
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_clean_corpus" -> (pipelineQuery _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "pipeline_clean_corpus" -> pipelineOracle,
+  )
+}
