@@ -69,6 +69,8 @@ object NearDup {
     * Output (id_a, id_b) with id_a < id_b, distinct. Shuffles only
     * (band, key, id) triples — the text never moves. */
   def lshCandidates(sigs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = sigs.sparkSession
+    import spark.implicits._
     val banded = sigs.select(
       col(idCol),
       posexplode(array((0 until Bands).map { bnd =>
@@ -76,11 +78,21 @@ object NearDup {
         (0 until RowsPerBand).map(r => col("sig")(bnd * RowsPerBand + r))
           .reduceLeft((acc, x) => acc * HashMod + x)
       }: _*)).as(Seq("band", "key")))
-    val a = banded.select(col("band"), col("key"), col(idCol).as("id_a"))
-    val b = banded.select(col("band"), col("key"), col(idCol).as("id_b"))
-    a.join(b, Seq("band", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // pairs are generated INSIDE each bucket group (one shuffle of (band,
+    // key, id) triples) rather than by self-joining the banded table —
+    // the shuffle carries bucket member lists, never the candidate
+    // cross-product
+    banded.groupBy("band", "key")
+      .agg(collect_list(col(idCol)).as("members"))
+      .select(col("members")).as[Seq[Long]]
+      .flatMap { ms =>
+        val arr = ms.sorted.toArray
+        for {
+          i <- arr.indices.iterator
+          j <- (i + 1) until arr.length
+        } yield (arr(i), arr(j))
+      }.distinct()
+      .toDF("id_a", "id_b")
   }
 
   /** Exact n-gram Jaccard on given pairs; keeps pairs ≥ `threshold`.
@@ -128,25 +140,32 @@ object NearDup {
     * the standard SimHash recall/cost trade). */
   def simHashPairs(docs: DataFrame, maxHamming: Int = SimHashChunks - 1,
                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val bitsPerChunk = SimHashBits / SimHashChunks
-    // cached: the 24-aggregate simhash expression feeds both join sides
-    val sh = docs.select(col(idCol), simHash(col(textCol)).as("simhash")).cache()
+    val sh = docs.select(col(idCol), simHash(col(textCol)).as("simhash"))
     val banded = sh.select(col(idCol), col("simhash"),
       posexplode(array((0 until SimHashChunks).map { c =>
         shiftright(col("simhash"), c * bitsPerChunk)
           .bitwiseAND(lit((1L << bitsPerChunk) - 1))
       }: _*)).as(Seq("chunk", "key")))
-    val a = banded.select(col("chunk"), col("key"),
-      col(idCol).as("id_a"), col("simhash").as("sh_a"))
-    val b = banded.select(col("chunk"), col("key"),
-      col(idCol).as("id_b"), col("simhash").as("sh_b"))
-    // hamming-filter BEFORE distinct: the chunk join can emit millions of
-    // candidate rows; only the (tiny) passing set should reach the shuffle
-    a.join(b, Seq("chunk", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
+    // pair generation + hamming filter INSIDE each bucket group: the
+    // shuffle carries bucket member lists and the (tiny) passing pairs —
+    // the candidate cross-product never hits an exchange
+    banded.groupBy("chunk", "key")
+      .agg(collect_list(struct(col(idCol).as("id"), col("simhash").as("sh")))
+        .as("members"))
+      .select(col("members")).as[Seq[(Long, Long)]]
+      .flatMap { ms =>
+        val arr = ms.sortBy(_._1).toArray
+        for {
+          i <- arr.indices.iterator
+          j <- (i + 1) until arr.length
+          h = java.lang.Long.bitCount(arr(i)._2 ^ arr(j)._2)
+          if h <= maxHamming
+        } yield (arr(i)._1, arr(j)._1, h)
+      }.distinct()
+      .toDF("id_a", "id_b", "hamming")
+      .withColumn("hamming", col("hamming").cast("int"))
   }
 }
