@@ -24,6 +24,26 @@ final case class GraphIndex(adj: Array[Array[Int]], ep: Int,
     adj.foreach { a => tot += a.length; mx = math.max(mx, a.length); mn = math.min(mn, a.length) }
     (tot.toDouble / adj.length, mx, mn)
   }
+
+  /** Number of nodes reachable from the entry point — the connectivity
+    * diagnostic for G6 (the reference's CollectPoints/dfs repair,
+    * src/index_bipartite.cpp:2521-2604, exists for exactly this check).
+    * A healthy index reaches every node (beam search can only find what
+    * is reachable from `ep`). */
+  def reachableFromEp: Int = {
+    val seen = new Array[Boolean](n)
+    var stack = List(ep)
+    seen(ep) = true
+    var cnt = 1
+    while (stack.nonEmpty) {
+      val cur = stack.head
+      stack = stack.tail
+      adj(cur).foreach { nb =>
+        if (!seen(nb)) { seen(nb) = true; cnt += 1; stack = nb :: stack }
+      }
+    }
+    cnt
+  }
 }
 
 /** RoarGraph construction (SURVEY.md §2.4 G1-G12; reference BuildRoarGraph,
@@ -245,7 +265,52 @@ object RoarGraphBuilder {
       projection(i) ++ novel
     }
     bcSupply.destroy()
-    GraphIndex(adj, ep, ids, vs)
+    val index = GraphIndex(adj, ep, ids, vs)
+    if (params.repairReachability) repairReachability(index) else index
+  }
+
+  /** Reachability repair (revives the reference's dead CollectPoints/dfs,
+    * src/index_bipartite.cpp:2521-2604): every node not reachable from the
+    * entry point gets one in-edge from its nearest reachable node, in
+    * ascending dense-id order; each attachment immediately reconnects the
+    * node's own descendants. Deterministic; adds at most one edge per
+    * initially-unreachable node. */
+  private[build] def repairReachability(index: GraphIndex): GraphIndex = {
+    val n = index.n
+    val adj = index.adj.map(_.clone())
+    val seen = new Array[Boolean](n)
+    def bfs(from: Int): Unit = {
+      var stack = List(from)
+      if (!seen(from)) { seen(from) = true }
+      while (stack.nonEmpty) {
+        val cur = stack.head; stack = stack.tail
+        adj(cur).foreach { nb =>
+          if (!seen(nb)) { seen(nb) = true; stack = nb :: stack }
+        }
+      }
+    }
+    bfs(index.ep)
+    var u = 0
+    while (u < n) {
+      if (!seen(u)) {
+        // nearest currently-reachable node (ties by id)
+        var best = -1
+        var bestD = Double.MaxValue
+        var r = 0
+        while (r < n) {
+          if (seen(r)) {
+            val d = index.vs.dist(r, u)
+            if (d < bestD || (d == bestD && r < best)) { bestD = d; best = r }
+          }
+          r += 1
+        }
+        adj(best) = adj(best) :+ u
+        seen(u) = true
+        bfs(u)
+      }
+      u += 1
+    }
+    index.copy(adj = adj)
   }
 
   /** Batch search (Q1 SearchRoarGraph, src/index_bipartite.cpp:2311-2420):

@@ -60,7 +60,12 @@ final case class BuildParams(
     mSq: Int = 100,    // queries' kNN list truncation (N_q)
     mPjbp: Int = 35,   // projection-graph degree cap M
     lPjpq: Int = 500,  // beam width for build-time self-search
-    metric: Metric = Metric.InnerProduct) {
+    metric: Metric = Metric.InnerProduct,
+    /** Attach ep-unreachable nodes via an edge from their nearest reachable
+      * node — a deterministic revival of the reference's dead CollectPoints
+      * repair (src/index_bipartite.cpp:2521-2604, commented out at
+      * :209-214). Recall is capped by reachability, so default on. */
+    repairReachability: Boolean = true) {
   /** PROJECTION_SLACK = 2 (src/index_bipartite.cpp:26): reverse lists may
     * grow to mPjbp*2 before re-prune; supply merge cap is also mPjbp*2. */
   val slack: Int = 2

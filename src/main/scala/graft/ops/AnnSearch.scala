@@ -63,6 +63,41 @@ object AnnSearch {
       .select(col("query_id"), col("rank"), col("base_id"), col("dist"))
   }
 
+  /** Deterministic Lloyd's k-means over the vector table — the IVF
+    * centroid trainer. Pure relational dataflow per iteration: assign =
+    * broadcast-centroids crossJoin + per-id argmin window; update = explode
+    * to (cluster, pos, x) and groupBy average. Seeding is deterministic
+    * (the k vectors with smallest ids), so results are reproducible.
+    * Empty clusters keep their previous centroid. Returns
+    * (centroid_id, vec: array<float>). */
+  def kMeans(vectors: DataFrame, k: Int, iters: Int = 10): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val v = vectors.select(col("id").cast("long"), col("vec")).cache()
+    var centroids = v.orderBy("id").limit(k)
+      .orderBy("id").collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
+    var it = 0
+    while (it < iters) {
+      val cdf = centroids.toSeq.toDF("centroid_id", "vec")
+      val assigned = assignToCentroids(v, cdf)
+        .select(col("centroid_id"), posexplode(col("vec")).as(Seq("pos", "x")))
+        .groupBy("centroid_id", "pos")
+        .agg(avg(col("x").cast("double")).as("m"))
+        .groupBy("centroid_id")
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("ms"))
+        .select(col("centroid_id"),
+          transform(col("ms"), _("m").cast("float")).as("vec"))
+        .as[(Int, Array[Float])].collect().toMap
+      centroids = centroids.map { case (cid, old) =>
+        (cid, assigned.getOrElse(cid, old))
+      }
+      it += 1
+    }
+    v.unpersist()
+    centroids.toSeq.toDF("centroid_id", "vec")
+  }
+
   /** Assign each vector to its nearest centroid (L2): the IVF inverted
     * list. `centroids` must expose (centroid_id, vec). Broadcast join —
     * centroid sets are small by construction. */

@@ -108,8 +108,10 @@ object QueriesGraph {
     import s.implicits._
     val idx = RoarGraphBuilder.build(bSide(s, dir), qSide(s, dir), buildParams)
     val (avg, mx, mn) = idx.degreeStats
-    Seq((idx.ids(idx.ep), idx.n.toLong, math.rint(avg * 1e6) / 1e6, mx, mn))
-      .toDF("entry_point", "n_nodes", "avg_degree", "max_degree", "min_degree")
+    Seq((idx.ids(idx.ep), idx.n.toLong, math.rint(avg * 1e6) / 1e6, mx, mn,
+      idx.reachableFromEp.toLong))
+      .toDF("entry_point", "n_nodes", "avg_degree", "max_degree",
+        "min_degree", "n_reachable")
   }
 
   private def roargraphRecall(s: SparkSession, dir: String): DataFrame = {

@@ -133,6 +133,25 @@ object QueriesVector {
        |        FROM (SELECT DISTINCT qid FROM q) q LEFT JOIN hits ON q.qid = hits.qid)
        |SELECT round(avg(recall), 6) AS recall_at_k, count(*) AS n_queries FROM per""".stripMargin
 
+  // ---- embedding QA: per-label norm statistics ---------------------------
+
+  /** Corpus-health stats for an embedding table: vector norm distribution
+    * per label — the cheap drift/outlier screen before indexing. */
+  private def normStatsQuery(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .select(col("label"),
+        graft.functions.VectorFunctions.l2Norm(col("vec")).as("nrm"))
+      .groupBy("label")
+      .agg(count("*").as("n"), round(avg("nrm"), 6).as("avg_norm"),
+        round(min("nrm"), 6).as("min_norm"), round(max("nrm"), 6).as("max_norm"))
+      .orderBy("label")
+
+  private val normStatsOracle =
+    s"""WITH t AS (SELECT label, ${normSql("embedding")} AS nrm FROM embeddings)
+       |SELECT label, count(*) AS n, round(avg(nrm), 6) AS avg_norm,
+       |       round(min(nrm), 6) AS min_norm, round(max(nrm), 6) AS max_norm
+       |FROM t GROUP BY label ORDER BY label""".stripMargin
+
   // ---- relative distance error (E2) of LSH-ANN vs exact ------------------
 
   /** Mean relative distance error (reference ComputeRderr,
@@ -208,6 +227,7 @@ object QueriesVector {
     "vec_distances" -> (distancesQuery _),
     "knn_recall" -> (recallQuery _),
     "knn_rderr" -> (rderrQuery _),
+    "vec_norm_stats" -> (normStatsQuery _),
     "graph_degree_stats" -> (degreeStatsQuery _),
   )
 
@@ -221,6 +241,7 @@ object QueriesVector {
     "vec_distances" -> distancesOracle,
     "knn_recall" -> recallOracle,
     "knn_rderr" -> rderrOracle,
+    "vec_norm_stats" -> normStatsOracle,
     "graph_degree_stats" -> degreeStatsOracle,
   )
 }

@@ -19,8 +19,12 @@ class RoarGraphSpec extends SparkSpec {
   private lazy val index = RoarGraphBuilder.build(baseDf, queriesDf, params)
 
   test("degree caps respected: forward ≤ m + 2m novel supply edges") {
+    // cap holds for the un-repaired build (reachability repair may append
+    // one extra in-edge per initially-unreachable node)
+    val raw = RoarGraphBuilder.build(baseDf, queriesDf,
+      params.copy(repairReachability = false))
     val cap = 3 * params.mPjbp
-    val (avg, mx, mn) = index.degreeStats
+    val (avg, mx, mn) = raw.degreeStats
     assert(mx <= cap, s"max degree $mx > $cap")
     assert(avg > 0 && mn >= 0)
   }
@@ -31,6 +35,11 @@ class RoarGraphSpec extends SparkSpec {
       assert(nbrs.forall(n => n >= 0 && n < index.n))
       assert(nbrs.distinct.length == nbrs.length, s"dup edge at $i")
     }
+  }
+
+  test("connectivity enhancement makes every node reachable from ep") {
+    assert(index.reachableFromEp == index.n,
+      s"${index.n - index.reachableFromEp} of ${index.n} nodes unreachable")
   }
 
   test("build is deterministic") {
