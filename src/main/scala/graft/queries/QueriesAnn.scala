@@ -120,17 +120,54 @@ object QueriesAnn {
        |       round(dist, 6) AS dist
        |FROM d ORDER BY query_id, rank""".stripMargin
 
+  // ---- k-means centroid training (deterministic → unrolled-SQL oracle) ----
+
+  private val KmK = 8
+  private val KmIters = 3
+
+  private def kmeansQuery(s: SparkSession, dir: String): DataFrame =
+    AnnSearch.kMeans(emb(s, dir), KmK, KmIters)
+      .select(col("centroid_id"), posexplode(col("vec")).as(Seq("pos", "v0")))
+      .select(col("centroid_id"), col("pos"),
+        round(col("v0").cast("double"), 5).as("v"))
+      .orderBy("centroid_id", "pos")
+
+  /** Lloyd's iterations unrolled into CTE blocks — deterministic seeding
+    * (k smallest ids) makes even the iterative trainer hash-checkable. */
+  private val kmeansOracle = {
+    val l2 = "list_sum(list_transform(list_zip(be, ce), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      s"""b AS (SELECT vec_id AS bid, embedding AS be FROM embeddings),
+         |cent0 AS (SELECT CAST(row_number() OVER (ORDER BY bid) - 1 AS INT) AS cid, be AS ce
+         |          FROM (SELECT bid, be FROM b ORDER BY bid LIMIT $KmK))""".stripMargin)
+    (1 to KmIters).foreach { i =>
+      ctes += s"""a$i AS (SELECT bid, be, cid,
+         |  row_number() OVER (PARTITION BY bid ORDER BY $l2, cid) AS rnk
+         |  FROM b, cent${i - 1} QUALIFY rnk = 1),
+         |e$i AS (SELECT cid, generate_subscripts(be, 1) AS pos, CAST(unnest(be) AS DOUBLE) AS x FROM a$i),
+         |m$i AS (SELECT cid, pos, CAST(avg(x) AS FLOAT) AS mf FROM e$i GROUP BY cid, pos),
+         |u$i AS (SELECT cid, list(mf ORDER BY pos) AS ce FROM m$i GROUP BY cid),
+         |cent$i AS (SELECT p.cid, coalesce(u$i.ce, p.ce) AS ce FROM cent${i - 1} p LEFT JOIN u$i USING (cid))""".stripMargin
+    }
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT cid AS centroid_id, CAST(generate_subscripts(ce, 1) - 1 AS INT) AS pos,
+       |       round(CAST(unnest(ce) AS DOUBLE), 5) AS v
+       |FROM cent$KmIters ORDER BY centroid_id, pos""".stripMargin
+  }
+
   // ---- registry -----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_lsh_topk" -> (lshTopKQuery _),
     "ann_lsh_recall" -> (lshRecallQuery _),
     "ann_ivf_topk" -> (ivfTopKQuery _),
+    "ann_kmeans_centroids" -> (kmeansQuery _),
   )
 
   val oracles: Map[String, String] = Map(
     "ann_lsh_topk" -> lshTopKOracle,
     "ann_lsh_recall" -> lshRecallOracle,
     "ann_ivf_topk" -> ivfTopKOracle,
+    "ann_kmeans_centroids" -> kmeansOracle,
   )
 }
