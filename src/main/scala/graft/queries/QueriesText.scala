@@ -104,6 +104,35 @@ object QueriesText {
     """SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS keep_id
       |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin
 
+  // ---- deterministic split + stratified sample ---------------------------
+
+  private def splitQuery(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.split(docs(s, dir))
+      .groupBy("split", "lang")
+      .agg(count("*").as("n"), sum(length(col("text"))).as("total_chars"))
+      .orderBy("split", "lang")
+
+  private val hashBucketSql =
+    "((doc_id * 2654435761) & 2147483647) % 100"
+
+  private val splitOracle =
+    s"""SELECT CASE WHEN $hashBucketSql < 80 THEN 'train'
+       |            WHEN $hashBucketSql < 90 THEN 'val'
+       |            ELSE 'test' END AS split,
+       |       lang, count(*) AS n, sum(length(text)) AS total_chars
+       |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+
+  private def stratifiedQuery(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.stratifiedSample(docs(s, dir), 25)
+      .groupBy("lang")
+      .agg(count("*").as("n_sampled"), min("doc_id").as("first_id"))
+      .orderBy("lang")
+
+  private val stratifiedOracle =
+    s"""SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_id
+       |FROM documents WHERE $hashBucketSql < 25
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---- registry -----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -111,6 +140,8 @@ object QueriesText {
     "text_lang_id" -> (langIdQuery _),
     "text_fingerprint" -> (fingerprintQuery _),
     "text_token_count" -> (tokenCountQuery _),
+    "sample_split" -> (splitQuery _),
+    "sample_stratified" -> (stratifiedQuery _),
     "dedup_exact" -> (dedupQuery _),
   )
 
@@ -119,6 +150,8 @@ object QueriesText {
     "text_lang_id" -> langIdOracle,
     "text_fingerprint" -> fingerprintOracle,
     "text_token_count" -> tokenCountOracle,
+    "sample_split" -> splitOracle,
+    "sample_stratified" -> stratifiedOracle,
     "dedup_exact" -> dedupOracle,
   )
 }
