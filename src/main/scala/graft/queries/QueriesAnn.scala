@@ -155,6 +155,53 @@ object QueriesAnn {
        |FROM cent$KmIters ORDER BY centroid_id, pos""".stripMargin
   }
 
+  // ---- SQ8 scalar quantization: recall of quantized search vs exact -------
+
+  private def sq8RecallQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Quantize
+    val b = bSide(s, dir)
+    val bounds = Quantize.sq8Bounds(b).cache()
+    val loHi = bounds
+      .agg(sort_array(collect_list(struct(col("pos"), col("lo"), col("hi"))))
+        .as("b"))
+      .select(transform(col("b"), _("lo")).as("lo"),
+        transform(col("b"), _("hi")).as("hi"))
+    val codes = Quantize.sq8Encode(b, bounds)
+    val decoded = codes.crossJoin(broadcast(loHi))
+      .select(col("id"),
+        transform(Quantize.sq8Decode(col("codes"), col("lo"), col("hi")),
+          _.cast("float")).as("vec"))
+    val approx = KnnJoin(qSide(s, dir), decoded, K, Metric.L2)
+      .select(col("query_id"), transform(col("knn"), _("id")).as("ids"))
+    val gt = KnnJoin(qSide(s, dir), bSide(s, dir), K, Metric.L2)
+      .select(col("query_id"), transform(col("knn"), _("id")).as("ids"))
+    Eval.recallAtK(approx, gt, K)
+      .select(round(col("recall_at_k"), 6).as("recall_at_k"), col("n_queries"))
+  }
+
+  private val sq8RecallOracle =
+    s"""WITH b AS (SELECT vec_id AS bid, embedding AS be FROM embeddings WHERE vec_id >= 20),
+       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
+       |ex AS (SELECT bid, generate_subscripts(be, 1) AS pos, CAST(unnest(be) AS DOUBLE) AS x FROM b),
+       |bounds AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM ex GROUP BY pos),
+       |dec AS (SELECT bid, ex.pos,
+       |          CAST(CASE WHEN hi > lo
+       |            THEN lo + (round(255.0 * (x - lo) / (hi - lo)) / 255.0) * (hi - lo)
+       |            ELSE lo END AS FLOAT) AS dx
+       |        FROM ex JOIN bounds USING (pos)),
+       |db AS (SELECT bid, list(dx ORDER BY pos) AS be FROM dec GROUP BY bid),
+       |ap AS (SELECT qid, bid,
+       |         row_number() OVER (PARTITION BY qid ORDER BY $l2SqlDist, bid) AS rnk
+       |       FROM q, db QUALIFY rnk <= $K),
+       |gt AS (SELECT qid, bid,
+       |         row_number() OVER (PARTITION BY qid ORDER BY $l2SqlDist, bid) AS rnk
+       |       FROM q, b QUALIFY rnk <= $K),
+       |hits AS (SELECT gt.qid, count(*) AS h FROM gt
+       |         JOIN ap ON gt.qid = ap.qid AND gt.bid = ap.bid GROUP BY gt.qid),
+       |per AS (SELECT q.qid, coalesce(h, 0) / $K.0 AS recall
+       |        FROM (SELECT DISTINCT qid FROM q) q LEFT JOIN hits USING (qid))
+       |SELECT round(avg(recall), 6) AS recall_at_k, count(*) AS n_queries FROM per""".stripMargin
+
   // ---- registry -----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -162,6 +209,7 @@ object QueriesAnn {
     "ann_lsh_recall" -> (lshRecallQuery _),
     "ann_ivf_topk" -> (ivfTopKQuery _),
     "ann_kmeans_centroids" -> (kmeansQuery _),
+    "ann_sq8_recall" -> (sq8RecallQuery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -169,5 +217,6 @@ object QueriesAnn {
     "ann_lsh_recall" -> lshRecallOracle,
     "ann_ivf_topk" -> ivfTopKOracle,
     "ann_kmeans_centroids" -> kmeansOracle,
+    "ann_sq8_recall" -> sq8RecallOracle,
   )
 }
