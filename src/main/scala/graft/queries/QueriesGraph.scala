@@ -17,7 +17,9 @@ import org.apache.spark.sql.functions._
   */
 object QueriesGraph {
 
-  private val Nd = 1000L
+  // query-node offset must clear the base id range at EVERY scale factor
+  // (sf0.1 embeddings reach id 1999; 1e6 is safely disjoint)
+  private val Nd = 1000000L
   private val M = 8
 
   private def emb(s: SparkSession, dir: String) = Tables.vectors(s, dir)
