@@ -104,6 +104,79 @@ object QueriesText {
     """SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS keep_id
       |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin
 
+  // ---- n-gram Jaccard on a deterministic pair set ------------------------
+
+  /** Standalone exact n-gram Jaccard (the verification kernel of the LSH
+    * pipeline) over consecutive-id pairs — the direct operator surface. */
+  private def ngramJaccardQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.NearDup
+    val sh = docs(s, dir).select(col("doc_id"),
+      NearDup.shingleHashes(col("text")).as("shingles"))
+    val pairs = sh.select(col("doc_id").as("id_a"))
+      .join(sh.select((col("doc_id") - 1).as("id_a")), "id_a")
+      .select(col("id_a"), (col("id_a") + 1).as("id_b"))
+    NearDup.jaccardOnPairs(pairs, sh, 0.0)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_a")
+  }
+
+  private def ngramJaccardOracle: String = {
+    val sh = QueriesDedup.shinglesSql("toks")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |s AS (SELECT doc_id, $sh AS sh FROM t),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sa, b.sh AS sb
+       |      FROM s a JOIN s b ON b.doc_id = a.doc_id + 1)
+       |SELECT id_a, id_b,
+       |  round(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(sa, sb))), 6) AS jaccard
+       |FROM p ORDER BY id_a""".stripMargin
+  }
+
+  // ---- language-ID accuracy vs the ground-truth lang column --------------
+
+  private def langAccuracyQuery(s: SparkSession, dir: String): DataFrame =
+    TextOps.langId(docs(s, dir))
+      .join(docs(s, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("lang", "pred_lang")
+      .agg(count("*").as("n"))
+      .orderBy("lang", "pred_lang")
+
+  private val langAccuracyOracle = {
+    val markers = TextOps.LangMarkers.map { case (l, ws) =>
+      l -> ws.map(w => s"'$w'").mkString("[", ", ", "]")
+    }
+    val scoreCols = markers.map { case (l, lst) =>
+      s"CAST(len(list_filter(toks, x -> list_contains($lst, x))) AS INT) AS score_$l"
+    }.mkString(",\n  ")
+    s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+       |sc AS (SELECT doc_id, lang, $scoreCols FROM t),
+       |p AS (SELECT lang,
+       |  CASE WHEN score_en + score_de + score_es + score_fr = 0 THEN 'und'
+       |       WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr THEN 'en'
+       |       WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
+       |       WHEN score_es >= score_fr THEN 'es'
+       |       ELSE 'fr' END AS pred_lang
+       |FROM sc)
+       |SELECT lang, pred_lang, count(*) AS n FROM p
+       |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin
+  }
+
+  // ---- vocabulary stats (term + document frequency) ----------------------
+
+  private def vocabQuery(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+    toks.groupBy("tok")
+      .agg(count("*").as("tf"), countDistinct("doc_id").as("df"))
+      .orderBy(col("tf").desc, col("tok"))
+      .limit(20)
+  }
+
+  private val vocabOracle =
+    """SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |GROUP BY tok ORDER BY tf DESC, tok LIMIT 20""".stripMargin
+
   // ---- deterministic split + stratified sample ---------------------------
 
   private def splitQuery(s: SparkSession, dir: String): DataFrame =
@@ -140,6 +213,9 @@ object QueriesText {
     "text_lang_id" -> (langIdQuery _),
     "text_fingerprint" -> (fingerprintQuery _),
     "text_token_count" -> (tokenCountQuery _),
+    "text_ngram_jaccard" -> (ngramJaccardQuery _),
+    "text_lang_accuracy" -> (langAccuracyQuery _),
+    "text_vocab_top" -> (vocabQuery _),
     "sample_split" -> (splitQuery _),
     "sample_stratified" -> (stratifiedQuery _),
     "dedup_exact" -> (dedupQuery _),
@@ -150,6 +226,9 @@ object QueriesText {
     "text_lang_id" -> langIdOracle,
     "text_fingerprint" -> fingerprintOracle,
     "text_token_count" -> tokenCountOracle,
+    "text_ngram_jaccard" -> ngramJaccardOracle,
+    "text_lang_accuracy" -> langAccuracyOracle,
+    "text_vocab_top" -> vocabOracle,
     "sample_split" -> splitOracle,
     "sample_stratified" -> stratifiedOracle,
     "dedup_exact" -> dedupOracle,

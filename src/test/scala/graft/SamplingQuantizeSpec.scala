@@ -1,0 +1,51 @@
+package graft
+
+import graft.core.Tables
+import graft.ops.{Quantize, Sampling}
+import org.apache.spark.sql.functions._
+
+class SamplingQuantizeSpec extends SparkSpec {
+
+  test("split: complete, disjoint, roughly 80/10/10, deterministic") {
+    val docs = Tables.documents(spark, sf001)
+    val s1 = Sampling.split(docs).groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s1.values.sum == 500)
+    assert(s1("train") > 350 && s1("train") < 450, s1)
+    assert(s1("val") > 20 && s1("val") < 90, s1)
+    assert(s1("test") > 20 && s1("test") < 90, s1)
+    val s2 = Sampling.split(docs)
+    assert(Sampling.split(docs).exceptAll(s2).isEmpty)
+  }
+
+  test("stratified sample is a deterministic subset with every stratum kept") {
+    val docs = Tables.documents(spark, sf001)
+    val sample = Sampling.stratifiedSample(docs, 25)
+    assert(sample.count() > 0 && sample.count() < 250)
+    assert(sample.join(docs, "doc_id").count() == sample.count()) // subset
+    // every language stratum survives
+    assert(sample.select("lang").distinct().count() ==
+      docs.select("lang").distinct().count())
+  }
+
+  test("sq8 round-trip error bounded by half a quantization step per dim") {
+    val vecs = Tables.vectors(spark, sf0001).select("id", "vec")
+    val bounds = Quantize.sq8Bounds(vecs)
+    val codes = Quantize.sq8Encode(vecs, bounds)
+    val loHi = bounds
+      .agg(sort_array(collect_list(struct(col("pos"), col("lo"), col("hi")))).as("b"))
+      .select(transform(col("b"), _("lo")).as("lo"),
+        transform(col("b"), _("hi")).as("hi"))
+    val maxStep = bounds.select(max((col("hi") - col("lo")) / 255.0))
+      .collect().head.getDouble(0)
+    val worst = codes.crossJoin(broadcast(loHi))
+      .select(col("id"),
+        Quantize.sq8Decode(col("codes"), col("lo"), col("hi")).as("dec"))
+      .join(vecs, "id")
+      .select(aggregate(
+        zip_with(col("dec"), col("vec"), (d, x) => abs(d - x.cast("double"))),
+        lit(0.0), (a, x) => greatest(a, x)).as("maxerr"))
+      .agg(max("maxerr")).collect().head.getDouble(0)
+    assert(worst <= maxStep / 2 + 1e-9, s"worst error $worst > ${maxStep / 2}")
+  }
+}
