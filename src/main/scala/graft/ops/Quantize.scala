@@ -41,4 +41,98 @@ object Quantize {
   def sq8Decode(codes: Column, lo: Column, hi: Column): Column =
     zip_with(codes, zip_with(lo, hi, (l, h) => struct(l.as("l"), h.as("h"))),
       (c, b) => b("l") + (c.cast("double") / 255.0) * (b("h") - b("l")))
+
+  // ---- Product quantization (PQ) -----------------------------------------
+  // The reference declares a PQ metric but never implements it
+  // (include/efanna2e/distance.h:15, vestigial); completed here from the
+  // engine's own primitives: per-subspace k-means codebooks, nearest-code
+  // encoding, reconstruction for asymmetric distance computation.
+
+  /** Train per-subspace codebooks: split `dim` into `m` contiguous
+    * subspaces, run deterministic k-means in each — all subspaces advance
+    * TOGETHER, one Spark job per Lloyd's iteration regardless of `m`
+    * (the m-separate-trainers formulation costs m× the scheduling).
+    * Semantics identical to per-subspace `AnnSearch.kMeans`: seeds = the k
+    * smallest ids' subvectors, double-avg → float centroids, empty
+    * clusters keep their previous centroid. Returns
+    * (subspace, centroid_id, vec: array<float> of dim/m). */
+  def pqTrain(vectors: DataFrame, m: Int, k: Int, iters: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val dim = vectors.select(size(col("vec"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val sv = (0 until m).map { s =>
+      vectors.select(lit(s).as("subspace"), col("id").cast("long"),
+        slice(col("vec"), s * subDim + 1, subDim).as("vec"))
+    }.reduce(_ unionByName _).cache()
+
+    val seedIds = vectors.select(col("id").cast("long")).orderBy("id")
+      .limit(k).as[Long].collect()
+    var cents: Map[(Int, Int), Array[Float]] = sv
+      .filter(col("id").isin(seedIds: _*))
+      .select(col("subspace"), col("id"), col("vec"))
+      .as[(Int, Long, Array[Float])].collect()
+      .map { case (s, id, v) => ((s, seedIds.indexOf(id)), v) }.toMap
+
+    var it = 0
+    while (it < iters) {
+      val cdf = cents.toSeq.map { case ((s, c), v) => (s, c, v) }
+        .toDF("subspace", "centroid_id", "cvec")
+      val updated = sv.join(broadcast(cdf), "subspace")
+        .withColumn("cdist",
+          graft.functions.VectorFunctions.l2Sq(col("vec"), col("cvec")))
+        .withColumn("crank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("subspace", "id")
+            .orderBy(col("cdist").asc, col("centroid_id").asc)))
+        .filter(col("crank") === 1)
+        .select(col("subspace"), col("centroid_id"),
+          posexplode(col("vec")).as(Seq("pos", "x")))
+        .groupBy("subspace", "centroid_id", "pos")
+        .agg(avg(col("x").cast("double")).as("mx"))
+        .groupBy("subspace", "centroid_id")
+        .agg(sort_array(collect_list(struct(col("pos"), col("mx")))).as("ms"))
+        .select(col("subspace"), col("centroid_id"),
+          transform(col("ms"), _("mx").cast("float")).as("cvec"))
+        .as[(Int, Int, Array[Float])].collect()
+        .map { case (s, c, v) => ((s, c), v) }.toMap
+      cents = cents.map { case (key, old) => (key, updated.getOrElse(key, old)) }
+      it += 1
+    }
+    sv.unpersist()
+    cents.toSeq.map { case ((s, c), v) => (s, c, v) }
+      .toDF("subspace", "centroid_id", "vec")
+  }
+
+  /** Encode: per subspace, the nearest codebook entry (ties by code id).
+    * Output (id, codes: array<int> of length m). */
+  def pqEncode(vectors: DataFrame, codebooks: DataFrame, m: Int): DataFrame = {
+    val dim = vectors.select(size(col("vec"))).head().getInt(0)
+    val subDim = dim / m
+    (0 until m).map { s =>
+      val cb = codebooks.filter(col("subspace") === s)
+        .select(col("centroid_id"), col("vec"))
+      AnnSearch.assignToCentroids(
+        vectors.select(col("id"),
+          slice(col("vec"), s * subDim + 1, subDim).as("vec")), cb)
+        .select(col("id"), lit(s).as("subspace"), col("centroid_id").as("code"))
+    }.reduce(_ unionByName _)
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("subspace"), col("code"))))
+        .as("cs"))
+      .select(col("id"), transform(col("cs"), _("code")).as("codes"))
+  }
+
+  /** Reconstruct full vectors from PQ codes (the table form of asymmetric
+    * distance: exact kNN over reconstructions ≡ ADC). Output (id, vec). */
+  def pqReconstruct(codes: DataFrame, codebooks: DataFrame): DataFrame =
+    codes.select(col("id"), posexplode(col("codes")).as(Seq("subspace", "code")))
+      .join(broadcast(codebooks
+        .select(col("subspace"), col("centroid_id").as("code"), col("vec"))),
+        Seq("subspace", "code"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("subspace"), col("vec"))))
+        .as("svs"))
+      .select(col("id"), flatten(transform(col("svs"), _("vec"))).as("vec"))
 }

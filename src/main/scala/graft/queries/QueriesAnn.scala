@@ -202,6 +202,70 @@ object QueriesAnn {
        |        FROM (SELECT DISTINCT qid FROM q) q LEFT JOIN hits USING (qid))
        |SELECT round(avg(recall), 6) AS recall_at_k, count(*) AS n_queries FROM per""".stripMargin
 
+  // ---- PQ: product-quantized search recall (reference's vestigial PQ) -----
+
+  private val PqM = 8        // subspaces (64-dim → 8×8)
+  private val PqK = 64       // codes per subspace
+  private val PqIters = 2
+
+  /** Recall of exact kNN over PQ-reconstructed base vectors (≡ asymmetric
+    * distance computation) vs exact kNN — at 16× compression (8 code bytes
+    * vs 256 vector bytes). The synthetic embeddings are near-isotropic, so
+    * absolute recall is modest by construction; the operator chain
+    * (per-subspace k-means → encode → reconstruct → search) is what is
+    * verified, bit-for-bit against unrolled SQL. */
+  private def pqRecallQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Quantize
+    val b = bSide(s, dir)
+    val cb = Quantize.pqTrain(b, PqM, PqK, PqIters)
+    val codes = Quantize.pqEncode(b, cb, PqM)
+    val rec = Quantize.pqReconstruct(codes, cb)
+    val approx = KnnJoin(qSide(s, dir), rec, K, Metric.L2)
+      .select(col("query_id"), transform(col("knn"), _("id")).as("ids"))
+    val gt = KnnJoin(qSide(s, dir), b, K, Metric.L2)
+      .select(col("query_id"), transform(col("knn"), _("id")).as("ids"))
+    Eval.recallAtK(approx, gt, K)
+      .select(round(col("recall_at_k"), 6).as("recall_at_k"), col("n_queries"))
+  }
+
+  private val pqRecallOracle = {
+    val dim = 64
+    val sub = dim / PqM
+    def l2(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      "b AS (SELECT vec_id AS bid, embedding AS be FROM embeddings WHERE vec_id >= 20)",
+      "q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20)")
+    (0 until PqM).foreach { s =>
+      val (lo, hi) = (s * sub + 1, (s + 1) * sub)
+      ctes += s"bs$s AS (SELECT bid, be[$lo:$hi] AS sv FROM b)"
+      ctes += s"c${s}_0 AS (SELECT CAST(row_number() OVER (ORDER BY bid) - 1 AS INT) AS cid, sv AS ce FROM (SELECT bid, sv FROM bs$s ORDER BY bid LIMIT $PqK))"
+      (1 to PqIters).foreach { i =>
+        val d = l2("sv", "ce")
+        ctes += s"a${s}_$i AS (SELECT bid, sv, cid, row_number() OVER (PARTITION BY bid ORDER BY $d, cid) AS rnk FROM bs$s, c${s}_${i - 1} QUALIFY rnk = 1)"
+        ctes += s"e${s}_$i AS (SELECT cid, generate_subscripts(sv, 1) AS pos, CAST(unnest(sv) AS DOUBLE) AS x FROM a${s}_$i)"
+        ctes += s"m${s}_$i AS (SELECT cid, pos, CAST(avg(x) AS FLOAT) AS mf FROM e${s}_$i GROUP BY cid, pos)"
+        ctes += s"u${s}_$i AS (SELECT cid, list(mf ORDER BY pos) AS ce FROM m${s}_$i GROUP BY cid)"
+        ctes += s"c${s}_$i AS (SELECT p.cid, coalesce(u${s}_$i.ce, p.ce) AS ce FROM c${s}_${i - 1} p LEFT JOIN u${s}_$i USING (cid))"
+      }
+      val d = l2("sv", "ce")
+      ctes += s"code$s AS (SELECT bid, cid AS code, row_number() OVER (PARTITION BY bid ORDER BY $d, cid) AS rnk FROM bs$s, c${s}_$PqIters QUALIFY rnk = 1)"
+    }
+    val recParts = (0 until PqM)
+      .map(s => s"(SELECT ce FROM c${s}_$PqIters cc WHERE cc.cid = code$s.code)")
+      .mkString(" || ")
+    val joins = (1 until PqM).map(s => s"JOIN code$s USING (bid)").mkString(" ")
+    ctes += s"rec AS (SELECT bid, $recParts AS be FROM code0 $joins)"
+    val l2qb = l2("qe", "be")
+    ctes += s"ap AS (SELECT qid, bid, row_number() OVER (PARTITION BY qid ORDER BY $l2qb, bid) AS rnk FROM q, rec QUALIFY rnk <= $K)"
+    ctes += s"gt AS (SELECT qid, bid, row_number() OVER (PARTITION BY qid ORDER BY $l2qb, bid) AS rnk FROM q, b QUALIFY rnk <= $K)"
+    s"""WITH ${ctes.mkString(",\n")},
+       |hits AS (SELECT gt.qid, count(*) AS h FROM gt JOIN ap ON gt.qid = ap.qid AND gt.bid = ap.bid GROUP BY gt.qid),
+       |per AS (SELECT q.qid, coalesce(h, 0) / $K.0 AS recall
+       |        FROM (SELECT DISTINCT qid FROM q) q LEFT JOIN hits USING (qid))
+       |SELECT round(avg(recall), 6) AS recall_at_k, count(*) AS n_queries FROM per""".stripMargin
+  }
+
   // ---- registry -----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -210,6 +274,7 @@ object QueriesAnn {
     "ann_ivf_topk" -> (ivfTopKQuery _),
     "ann_kmeans_centroids" -> (kmeansQuery _),
     "ann_sq8_recall" -> (sq8RecallQuery _),
+    "ann_pq_recall" -> (pqRecallQuery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -218,5 +283,6 @@ object QueriesAnn {
     "ann_ivf_topk" -> ivfTopKOracle,
     "ann_kmeans_centroids" -> kmeansOracle,
     "ann_sq8_recall" -> sq8RecallOracle,
+    "ann_pq_recall" -> pqRecallOracle,
   )
 }
