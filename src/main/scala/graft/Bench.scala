@@ -64,14 +64,43 @@ object Bench {
         ch.getDouble(0), ch.getDouble(1))
     }
 
+    // scale-path variants over the same index/data: BSP (no broadcast) and
+    // 3-shard build+search — timings + recall recorded alongside the kernel
+    val adjDf = graft.ops.graph.GraphIO.toDF(index)(spark)
+    val tBsp0 = System.nanoTime()
+    val bspRes = graft.ops.graph.BspBeamSearch.search(adjDf, base, queries,
+      k = 10, l = 60, ep = index.ids(index.ep), Metric.L2)
+      .select(col("query_id"), col("ids")).cache()
+    bspRes.count()
+    val bspSec = (System.nanoTime() - tBsp0) / 1e9
+    val bspRecall = graft.eval.Eval.recallAtK(bspRes, gt, 10)
+      .collect().head.getAs[Double]("recall_at_k")
+    bspRes.unpersist()
+
+    val tSh0 = System.nanoTime()
+    val sharded = graft.build.ShardedRoarGraph.build(base, queries, params, 3)
+    val shBuildSec = (System.nanoTime() - tSh0) / 1e9
+    val tShS0 = System.nanoTime()
+    val shRes = graft.build.ShardedRoarGraph.searchBatch(sharded, queries,
+      SearchParams(10, 100, Metric.L2))
+      .select(col("query_id"), col("ids")).cache()
+    shRes.count()
+    val shSearchSec = (System.nanoTime() - tShS0) / 1e9
+    val shRecall = graft.eval.Eval.recallAtK(shRes, gt, 10)
+      .collect().head.getAs[Double]("recall_at_k")
+    shRes.unpersist()
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val sweepJson = sweep.map { case (l, qps, rec, lat, cmps, hops) =>
       f"""{"l_pq":$l,"qps":$qps%.1f,"recall_at_10":$rec%.4f,"mean_latency_ms":$lat%.3f,"avg_cmps":$cmps%.1f,"avg_hops":$hops%.1f}"""
     }.mkString("[", ",", "]")
     val total = results.values.sum + buildSec + sweep.map(s => nQueries / s._2).sum
+    val variants =
+      f"""{"bsp_search":{"sec":$bspSec%.3f,"recall_at_10":$bspRecall%.4f},""" +
+        f""""sharded_3":{"build_sec":$shBuildSec%.3f,"search_sec":$shSearchSec%.3f,"recall_at_10":$shRecall%.4f}}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""roargraph":{"n_base":${index.n},"build_sec":$buildSec,"search_sweep":$sweepJson},""" +
+      s""""roargraph":{"n_base":${index.n},"build_sec":$buildSec,"search_sweep":$sweepJson,"scale_variants":$variants},""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
   }
