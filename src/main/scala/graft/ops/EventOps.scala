@@ -53,6 +53,42 @@ object EventOps {
       .drop("sess_id")
   }
 
+  /** As-of join: for every left row, the single right row with the same
+    * key and the greatest time ≤ the left time — the standard time-series
+    * enrichment operator (market-data "last quote before trade" shape)
+    * that Spark lacks natively.
+    *
+    * Implemented as union + running `last(ignoreNulls)` window rather than
+    * a range join: ONE shuffle keyed by `keyCol`, no time-range cross
+    * product, O(n log n) per key — survives arbitrarily long histories.
+    * Right rows order before left rows at equal times (ties included,
+    * like DuckDB/kdb ASOF semantics). Right side must be unique per
+    * (key, time) — pre-aggregate it if not.
+    *
+    * @param left   [keyCol, timeCol, ...left payload]
+    * @param right  [keyCol, timeCol, ...right payload]
+    * @return left columns + matched right payload struct (`asof` — null
+    *         when no prior right row exists)
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame,
+               keyCol: String, timeCol: String): DataFrame = {
+    val rightPayload = struct(right.columns.map(col): _*)
+    val l = left.withColumn("_tag", lit(1)).withColumn("_r",
+      lit(null).cast(org.apache.spark.sql.types.StructType(
+        right.schema.fields)))
+    val r = right.select(
+      col(keyCol), col(timeCol),
+      lit(0).as("_tag"), rightPayload.as("_r"))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(timeCol).asc, col("_tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("asof", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+      .drop("_tag", "_r")
+  }
+
   /** Hourly rollup per event type: (hour_ms, event_type, n, sum_value). */
   def hourlyRollup(events: DataFrame): DataFrame =
     events

@@ -208,6 +208,36 @@ object QueriesRelational {
       |EXCEPT SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 450000
       |ORDER BY c_custkey""".stripMargin
 
+  // ---- as-of join: each purchase ↔ the user's latest prior click ----------
+
+  private def asofQuery(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val ms = EventOps.tsMs(e)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), ms.as("ms"))
+    // right side unique per (user, ms): keep the largest event id
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), ms.as("ms"), col("event_id"))
+      .groupBy("user_id", "ms")
+      .agg(max("event_id").as("click_id"))
+    EventOps.asOfJoin(purchases, clicks, "user_id", "ms")
+      .filter(col("asof").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ms"),
+        col("asof.click_id").as("prior_click_id"),
+        (col("ms") - col("asof.ms")).as("gap_ms"))
+      .orderBy("event_id")
+  }
+
+  private val asofOracle =
+    """WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events
+      |           WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, epoch_ms(ts) AS ms, max(event_id) AS click_id
+      |      FROM events WHERE event_type = 'click' GROUP BY user_id, epoch_ms(ts))
+      |SELECT p.event_id, p.user_id, p.ms, c.click_id AS prior_click_id,
+      |       p.ms - c.ms AS gap_ms
+      |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ms >= c.ms
+      |ORDER BY p.event_id""".stripMargin
+
   // ---- registry -----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -218,6 +248,7 @@ object QueriesRelational {
     "events_sessionize" -> (sessionizeQuery _),
     "events_hourly" -> (hourlyQuery _),
     "events_json_props" -> (jsonPropsQuery _),
+    "events_asof_join" -> (asofQuery _),
     "events_rollup" -> (rollupQuery _),
     "customers_except_bigorders" -> (exceptQuery _),
   )
@@ -230,6 +261,7 @@ object QueriesRelational {
     "events_sessionize" -> sessionizeOracle,
     "events_hourly" -> hourlyOracle,
     "events_json_props" -> jsonPropsOracle,
+    "events_asof_join" -> asofOracle,
     "events_rollup" -> rollupOracle,
     "customers_except_bigorders" -> exceptOracle,
   )
