@@ -89,6 +89,18 @@ object EventOps {
       .drop("_tag", "_r")
   }
 
+  /** Range (interval-containment) join: left rows matched to right rows of
+    * the same key whose [loCol, hiCol] interval contains the left time.
+    * With an equi-key this is a plain keyed shuffle join + range filter —
+    * no cross product (parallelism follows key cardinality; AQE splits
+    * skewed keys). For KEYLESS range joins, bucket both sides by
+    * fixed-width time blocks first (each interval lands in every block it
+    * overlaps) and use the block id as the equi-key — same join shape. */
+  def rangeJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                timeCol: String, loCol: String, hiCol: String): DataFrame =
+    left.join(right, Seq(keyCol))
+      .filter(col(timeCol) >= col(loCol) && col(timeCol) <= col(hiCol))
+
   /** Hourly rollup per event type: (hour_ms, event_type, n, sum_value). */
   def hourlyRollup(events: DataFrame): DataFrame =
     events

@@ -238,6 +238,35 @@ object QueriesRelational {
       |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ms >= c.ms
       |ORDER BY p.event_id""".stripMargin
 
+  // ---- range join: each error event ↔ its containing session --------------
+
+  private def rangeJoinQuery(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), EventOps.tsMs(e).as("ms"))
+    val sessions = EventOps.sessionize(e)
+      .select(col("user_id"), col("session_start_ms"), col("session_end_ms"))
+    EventOps.rangeJoin(errors, sessions, "user_id", "ms",
+      "session_start_ms", "session_end_ms")
+      .select(col("event_id"), col("user_id"), col("session_start_ms"))
+      .orderBy("event_id")
+  }
+
+  private val rangeJoinOracle =
+    s"""WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type FROM events),
+       |m AS (SELECT *, CASE WHEN ms - lag(ms) OVER w > ${EventOps.SessionGapMs}
+       |                     OR lag(ms) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+       |sx AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id FROM m),
+       |sess AS (SELECT user_id, min(ms) AS session_start_ms, max(ms) AS session_end_ms
+       |         FROM sx GROUP BY user_id, sess_id),
+       |err AS (SELECT event_id, user_id, ms FROM e WHERE event_type = 'error')
+       |SELECT err.event_id, err.user_id, sess.session_start_ms
+       |FROM err JOIN sess ON err.user_id = sess.user_id
+       |  AND err.ms BETWEEN sess.session_start_ms AND sess.session_end_ms
+       |ORDER BY err.event_id""".stripMargin
+
   // ---- registry -----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -249,6 +278,7 @@ object QueriesRelational {
     "events_hourly" -> (hourlyQuery _),
     "events_json_props" -> (jsonPropsQuery _),
     "events_asof_join" -> (asofQuery _),
+    "events_range_join" -> (rangeJoinQuery _),
     "events_rollup" -> (rollupQuery _),
     "customers_except_bigorders" -> (exceptQuery _),
   )
@@ -262,6 +292,7 @@ object QueriesRelational {
     "events_hourly" -> hourlyOracle,
     "events_json_props" -> jsonPropsOracle,
     "events_asof_join" -> asofOracle,
+    "events_range_join" -> rangeJoinOracle,
     "events_rollup" -> rollupOracle,
     "customers_except_bigorders" -> exceptOracle,
   )
