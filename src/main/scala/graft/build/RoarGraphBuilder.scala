@@ -99,10 +99,11 @@ object RoarGraphBuilder {
         while (i < v.length) { o(i) = (v(i) / nrm).toFloat; i += 1 }; o }
     }
 
-  /** Entry point = argmin over base of dist(vec, centroid), ties by id
-    * (CalculateProjectionep, src/index_bipartite.cpp:2004-2041). Always L2
-    * to the centroid exactly like the reference (it uses `distance_` — but
-    * on normalized data for cosine; we mirror by using the store metric). */
+  /** Entry point = argmin over base of SQUARED L2 dist(vec, centroid), ties
+    * by id. The reference's CalculateProjectionep (src/index_bipartite.cpp:
+    * 2004-2041) hardcodes an L2 comparator regardless of build metric —
+    * using the store metric here would pick the argmax-dot (large-norm-
+    * biased) node for IP builds, diverging from the reference. */
   private[graft] def entryPoint(vs: VecStore): Int = {
     val cen = new Array[Float](vs.dim)
     var i = 0
@@ -117,8 +118,13 @@ object RoarGraphBuilder {
     var bestD = Double.MaxValue
     i = 0
     while (i < vs.n) {
-      val dd = vs.distTo(i, cen)
-      if (dd < bestD) { bestD = dd; best = i }
+      val off = i * vs.dim
+      var s = 0.0
+      d = 0
+      while (d < vs.dim) {
+        val x = vs.data(off + d).toDouble - cen(d); s += x * x; d += 1
+      }
+      if (s < bestD) { bestD = s; best = i }
       i += 1
     }
     best

@@ -13,8 +13,10 @@ package graft.core
 sealed trait Metric extends Serializable {
   /** Distance between two vectors; SMALLER IS ALWAYS CLOSER (the reference
     * negates inner product to preserve this invariant engine-wide —
-    * include/efanna2e/distance.h:92-226). */
-  def dist(a: Array[Float], b: Array[Float]): Float
+    * include/efanna2e/distance.h:92-226). Accumulates in double so every
+    * scoring path (VecStore, Catalyst expressions, BSP search) shares the
+    * same float64 arithmetic and near-tie ordering (SURVEY.md §7.4). */
+  def dist(a: Array[Float], b: Array[Float]): Double
   /** Whether input vectors must be L2-normalized first (cosine is lowered to
     * normalize-then-IP exactly like src/index.cpp:14-21). */
   def needNormalize: Boolean = false
@@ -24,24 +26,24 @@ object Metric {
   /** Squared L2 (no sqrt — matches DistanceL2::compare,
     * include/efanna2e/distance.h:22-90). */
   case object L2 extends Metric {
-    override def dist(a: Array[Float], b: Array[Float]): Float = {
-      var s = 0.0f; var i = 0; val n = a.length
-      while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+    override def dist(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0; val n = a.length
+      while (i < n) { val d = a(i).toDouble - b(i); s += d * d; i += 1 }
       s
     }
   }
   /** Negated inner product (include/efanna2e/distance.h:92-226). */
   case object InnerProduct extends Metric {
-    override def dist(a: Array[Float], b: Array[Float]): Float = {
-      var s = 0.0f; var i = 0; val n = a.length
-      while (i < n) { s += a(i) * b(i); i += 1 }
+    override def dist(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0; val n = a.length
+      while (i < n) { s += a(i).toDouble * b(i); i += 1 }
       -s
     }
   }
   /** Cosine = L2-normalize both sides then negated IP
     * (src/index_bipartite.cpp:35-37 + util.h:214-225). */
   case object Cosine extends Metric {
-    override def dist(a: Array[Float], b: Array[Float]): Float =
+    override def dist(a: Array[Float], b: Array[Float]): Double =
       InnerProduct.dist(a, b)
     override def needNormalize: Boolean = true
   }

@@ -47,14 +47,22 @@ object QueriesDedup {
 
   // ---- minhash signatures (per-doc, the cheap single-pass stage) ---------
 
+  // exploded to scalar columns (doc_id, hash_idx, minhash): the driver's
+  // pandas hash canonicalizer cannot sort array cells, so the per-function
+  // minhash values are emitted one row each.
   private def minhashSigQuery(s: SparkSession, dir: String): DataFrame =
     NearDup.signatures(docs(s, dir))
-      .select(col("doc_id"), col("sig")).orderBy("doc_id")
+      .select(col("doc_id"), posexplode(col("sig")).as(Seq("hash_idx", "minhash")))
+      .orderBy("doc_id", "hash_idx")
 
   private val minhashSigOracle =
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-       |s AS (SELECT doc_id, ${shinglesSql("toks")} AS sh FROM t)
-       |SELECT doc_id, ${sigSql("sh")} AS sig FROM s ORDER BY doc_id""".stripMargin
+       |s AS (SELECT doc_id, ${shinglesSql("toks")} AS sh FROM t),
+       |g AS (SELECT doc_id, ${sigSql("sh")} AS sig FROM s)
+       |SELECT doc_id,
+       |  CAST(unnest(range(0, len(sig))) AS INT) AS hash_idx,
+       |  CAST(unnest(sig) AS BIGINT) AS minhash
+       |FROM g ORDER BY doc_id, hash_idx""".stripMargin
 
   // ---- MinHash-LSH near-dup pairs ----------------------------------------
 

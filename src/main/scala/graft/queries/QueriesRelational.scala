@@ -156,15 +156,19 @@ object QueriesRelational {
       .select(col("event_type"),
         get_json_object(col("props"), "$.k").cast("int").as("k"))
       .groupBy("event_type")
+      // avg derived as sum/count (identical integer inputs → bit-identical
+      // double on both engines); DuckDB sum(INT) is HUGEINT → cast BIGINT
+      // in the oracle so the canonicalizer sees int64 on both sides.
       .agg(count("*").as("n"), sum("k").as("sum_k"),
-        round(avg("k"), 6).as("avg_k"), min("k").as("min_k"),
-        max("k").as("max_k"))
+        (sum("k").cast("double") / count("k")).as("avg_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
       .orderBy("event_type")
 
   private val jsonPropsOracle =
     """SELECT event_type, count(*) AS n,
-      |  sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
-      |  round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+      |  CAST(CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS DOUBLE)
+      |    / count(CAST(json_extract_string(props, '$.k') AS INT)) AS avg_k,
       |  CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
       |  CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin

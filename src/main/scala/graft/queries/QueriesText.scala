@@ -192,7 +192,8 @@ object QueriesText {
     s"""SELECT CASE WHEN $hashBucketSql < 80 THEN 'train'
        |            WHEN $hashBucketSql < 90 THEN 'val'
        |            ELSE 'test' END AS split,
-       |       lang, count(*) AS n, sum(length(text)) AS total_chars
+       |       lang, count(*) AS n,
+       |       CAST(sum(length(text)) AS BIGINT) AS total_chars
        |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
 
   private def stratifiedQuery(s: SparkSession, dir: String): DataFrame =

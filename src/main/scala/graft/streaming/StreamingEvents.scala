@@ -93,20 +93,23 @@ object StreamingEvents {
             closed.sortBy(_._1).iterator.map(s =>
               Session(user, s._1, s._2, s._3, s._4))
           } else {
-            // merge the micro-batch's events into gap-separated sessions
-            val sorted = rows.toArray.sortBy(_._2)
-            var sessions = state.getOption.getOrElse(Nil).sortBy(_._1)
-            sorted.foreach { case (_, ms, v) =>
-              sessions match {
-                case (st, last, cnt, sm) :: tail
-                    if ms - last <= gapMs && ms >= st =>
-                  sessions = (st, math.max(last, ms), cnt + 1, sm + v) :: tail
-                case _ =>
-                  sessions = (ms, ms, 1L, v) :: sessions
+            // union the micro-batch's events (as singleton intervals) with
+            // the open sessions, then coalesce: two intervals chain into one
+            // session iff separated by <= gap — the batch definition exactly,
+            // regardless of arrival order or how many sessions are open
+            // (head-only matching diverges once a user has >=2 open sessions
+            // across micro-batches).
+            val merged = (state.getOption.getOrElse(Nil) ++
+                rows.map { case (_, ms, v) => (ms, ms, 1L, v) })
+              .sortBy(s => (s._1, s._2))
+              .foldLeft(List.empty[SessState]) {
+                case ((cst, clast, ccnt, csum) :: tail, (st, last, cnt, sm))
+                    if st - clast <= gapMs =>
+                  (cst, math.max(clast, last), ccnt + cnt, csum + sm) :: tail
+                case (acc, s) => s :: acc
               }
-            }
-            state.update(sessions)
-            state.setTimeoutTimestamp(sessions.map(_._2).min + gapMs)
+            state.update(merged)
+            state.setTimeoutTimestamp(merged.map(_._2).min + gapMs)
             Iterator.empty
           }
       }
