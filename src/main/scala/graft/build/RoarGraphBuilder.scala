@@ -329,7 +329,7 @@ object RoarGraphBuilder {
     val spark = queries.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(index)
-    val (k, l) = (params.k, params.lPq)
+    val (k, l, numSeeds) = (params.k, params.lPq, params.numSeeds)
     queries.select(col("id").cast("long"), col("vec"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
@@ -337,9 +337,24 @@ object RoarGraphBuilder {
         val visited = new BeamSearch.Visited(idx.n)
         it.map { case (qid, qv0) =>
           val qv = normalizeIfNeeded(qv0, idx.vs.metric)
-          val r = BeamSearch.search(idx.adj, idx.vs, qv, k, l, idx.ep, visited)
+          val seeds = seedsFor(qid, numSeeds, idx.n)
+          val r = BeamSearch.search(idx.adj, idx.vs, qv, k, l, idx.ep, visited,
+            seeds = seeds)
           (qid, r.ids.map(idx.ids(_)), r.dists, r.cmps, r.hops)
         }
       }.toDF("query_id", "ids", "dists", "cmps", "hops")
   }
+
+  /** Per-query deterministic seed nodes: splitmix64 over (qid, i) — the
+    * reproducible replacement for the reference's `std::random_device`
+    * seeding (src/index_bipartite.cpp:287-294; SURVEY.md §7.4 item 3). */
+  private[graft] def seedsFor(qid: Long, numSeeds: Int, n: Int): Array[Int] =
+    if (numSeeds <= 0) Array.empty
+    else Array.tabulate(numSeeds) { i =>
+      var z = qid * 0x9E3779B97F4A7C15L + (i + 1) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= z >>> 31
+      ((z % n + n) % n).toInt
+    }
 }

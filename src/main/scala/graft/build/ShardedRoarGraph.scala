@@ -27,11 +27,23 @@ object ShardedRoarGraph {
             numShards: Int): Sharded = {
     require(numShards > 0)
     val withShard = base.withColumn("_shard", shardCol(numShards))
-    val shards = (0 until numShards).map { s =>
-      RoarGraphBuilder.build(
-        withShard.filter(col("_shard") === s).drop("_shard"),
-        queries, params)
-    }
+    // shard builds are independent — run them as concurrent jobs on the
+    // shared SparkContext (the scheduler interleaves their stages across
+    // executors), so wall time ≈ max(shard) not sum(shards). Each thread
+    // only submits jobs and holds its own shard's index; determinism is
+    // untouched (shard membership is id-hash, the per-shard build is
+    // deterministic, and results are ordered by shard id).
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(numShards)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    val shards =
+      try Await.result(Future.sequence((0 until numShards).map { s =>
+        Future(RoarGraphBuilder.build(
+          withShard.filter(col("_shard") === s).drop("_shard"),
+          queries, params))
+      }), Duration.Inf)
+      finally pool.shutdown()
     Sharded(shards, numShards)
   }
 

@@ -74,12 +74,18 @@ final case class BuildParams(
   def degreeCap: Int = mPjbp * slack
 }
 
-/** Search parameters (tests/test_search_roargraph.cpp:191: k=10, L_pq sweep). */
+/** Search parameters (tests/test_search_roargraph.cpp:191: k=10, L_pq sweep).
+  * `numSeeds` > 0 adds that many extra entry nodes per query beside the
+  * fixed entry point — the deterministic (hash-derived) analogue of the
+  * reference's 10 random base seeds (src/index_bipartite.cpp:287-294),
+  * a recall fallback for graphs with ep-unreachable regions. */
 final case class SearchParams(
     k: Int = 10,
     lPq: Int = 100,
-    metric: Metric = Metric.InnerProduct) {
+    metric: Metric = Metric.InnerProduct,
+    numSeeds: Int = 0) {
   require(lPq >= k, s"beam width lPq=$lPq must be >= k=$k")
+  require(numSeeds >= 0, s"numSeeds must be >= 0: $numSeeds")
 }
 
 /** A scored neighbor; ties always broken by ascending id, mirroring the
@@ -88,5 +94,16 @@ final case class Neighbor(id: Long, dist: Double)
 
 object Neighbor {
   implicit val ordering: Ordering[Neighbor] =
+    Ordering.by(n => (n.dist, n.id))
+}
+
+/** A scored neighbor carrying its vector — the payload of the distributed
+  * build's candidate groups, where occlusion pruning needs candidate↔
+  * candidate distances without a global vector store. Same (dist, id)
+  * tie-break as [[Neighbor]]. */
+final case class NeighborVec(id: Long, dist: Double, vec: Array[Float])
+
+object NeighborVec {
+  implicit val ordering: Ordering[NeighborVec] =
     Ordering.by(n => (n.dist, n.id))
 }

@@ -1,10 +1,9 @@
 package graft.ops
 
 import graft.core.Metric
+import graft.functions.{TopKAggregator, VecMeanAggregator, VectorFunctions}
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.VectorFunctions
 
 /** Approximate nearest-neighbor search over an embedding column — the
   * scale path beside the exact kNN join (SURVEY.md A1) and the RoarGraph
@@ -22,6 +21,15 @@ import graft.functions.VectorFunctions
   * checkable), unlike random-hyperplane LSH. Recall vs the exact operator
   * is itself a query (Eval.recallAtK) so the quality/cost trade is measured,
   * not guessed.
+  *
+  * Scale shapes (no windowed ranking anywhere):
+  *   - centroid argmin/top-nprobe: the centroid set is driver-small by
+  *     construction, so both fold over a literal centroid array inside one
+  *     projection — zero exchange, stays in whole-stage codegen;
+  *   - per-query top-k: bounded partial/final aggregation (TopKAggregator)
+  *     — only `numPartitions × k` rows per query reach the exchange, never
+  *     the full scored candidate set (a `row_number` window would shuffle
+  *     and sort every scored row).
   */
 object AnnSearch {
 
@@ -36,6 +44,18 @@ object AnnSearch {
       when(vec(2 * d).cast("double") - vec(2 * d + 1).cast("double") >= 0,
         lit(1L << d)).otherwise(lit(0L))
     }.reduceLeft(_ + _)
+
+  /** Per-query bounded top-k of scored candidate rows via partial/final
+    * aggregation, exploded back to (query_id, rank, base_id, dist). */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val topk = TopKAggregator.topK(k)
+    scored
+      .groupBy("query_id")
+      .agg(topk(col("base_id").cast("long"), col("dist")).as("knn"))
+      .select(col("query_id"), posexplode(col("knn")).as(Seq("pos", "n")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("n.id").as("base_id"), col("n.dist").as("dist"))
+  }
 
   /** Bucketed top-k with multi-probe: each query competes against its own
     * bucket plus every bucket at Hamming distance 1 (flip one hyperplane
@@ -57,16 +77,49 @@ object AnnSearch {
     val scored = q.join(b, "bucket")
       .withColumn("dist",
         VectorFunctions.distByMetric(metricName)(col("qvec"), col("bvec")))
-    val w = Window.partitionBy("query_id").orderBy(col("dist").asc, col("base_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("base_id"), col("dist"))
+    topKPerQuery(scored, k)
   }
 
+  /** Per-row array of struct(cdist, centroid_id) vs every centroid — the
+    * literal-fold scoring block shared by argmin assignment and top-nprobe
+    * probing. Centroid sets are driver-small by construction (they are
+    * k-means output); the fold is one codegen'd projection, no join, no
+    * exchange. */
+  private def centroidScores(vec: Column,
+                             cents: Array[(Int, Array[Float])]): Column =
+    array(cents.map { case (cid, cv) =>
+      struct(
+        VectorFunctions.l2Sq(vec, typedLit(cv.toSeq)).as("cdist"),
+        lit(cid).as("centroid_id"))
+    }: _*)
+
+  private def collectCentroids(centroids: DataFrame): Array[(Int, Array[Float])] =
+    centroids.select(col("centroid_id").cast("int"), col("vec"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+
+  /** Assign each vector to its nearest centroid (L2, ties by centroid id):
+    * the IVF inverted list. `centroids` must expose (centroid_id, vec).
+    * Shuffle-free: argmin = `array_min` over the literal centroid scores
+    * (struct ordering is lexicographic (cdist, centroid_id) — exactly the
+    * tie-break). */
+  def assignToCentroids(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    assignLocal(vectors, collectCentroids(centroids))
+
+  private def assignLocal(vectors: DataFrame,
+                          cents: Array[(Int, Array[Float])]): DataFrame =
+    vectors
+      .withColumn("_best", array_min(centroidScores(col("vec"), cents)))
+      .withColumn("cdist", col("_best")("cdist"))
+      .withColumn("centroid_id", col("_best")("centroid_id"))
+      .drop("_best")
+
   /** Deterministic Lloyd's k-means over the vector table — the IVF
-    * centroid trainer. Pure relational dataflow per iteration: assign =
-    * broadcast-centroids crossJoin + per-id argmin window; update = explode
-    * to (cluster, pos, x) and groupBy average. Seeding is deterministic
+    * centroid trainer. Per iteration: assignment is the shuffle-free
+    * literal-fold argmin; the centroid update is one array-summing
+    * partial/final aggregate per cluster (shuffles `numPartitions × k`
+    * array rows, not `n × dim` exploded scalars). Seeding is deterministic
     * (the k vectors with smallest ids), so results are reproducible.
     * Empty clusters keep their previous centroid. Returns
     * (centroid_id, vec: array<float>). */
@@ -79,15 +132,12 @@ object AnnSearch {
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
     var it = 0
     while (it < iters) {
-      val cdf = centroids.toSeq.toDF("centroid_id", "vec")
-      val assigned = assignToCentroids(v, cdf)
-        .select(col("centroid_id"), posexplode(col("vec")).as(Seq("pos", "x")))
-        .groupBy("centroid_id", "pos")
-        .agg(avg(col("x").cast("double")).as("m"))
+      val assigned = assignLocal(v, centroids)
         .groupBy("centroid_id")
-        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("ms"))
-        .select(col("centroid_id"),
-          transform(col("ms"), _("m").cast("float")).as("vec"))
+        .agg(VecMeanAggregator.meanVec(
+          VectorFunctions.toDouble(col("vec"))).as("m"))
+        .select(col("centroid_id").cast("int"),
+          transform(col("m"), _.cast("float")).as("vec"))
         .as[(Int, Array[Float])].collect().toMap
       centroids = centroids.map { case (cid, old) =>
         (cid, assigned.getOrElse(cid, old))
@@ -96,19 +146,6 @@ object AnnSearch {
     }
     v.unpersist()
     centroids.toSeq.toDF("centroid_id", "vec")
-  }
-
-  /** Assign each vector to its nearest centroid (L2): the IVF inverted
-    * list. `centroids` must expose (centroid_id, vec). Broadcast join —
-    * centroid sets are small by construction. */
-  def assignToCentroids(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val c = centroids.select(col("centroid_id"), col("vec").as("cvec"))
-    val scored = vectors.crossJoin(broadcast(c))
-      .withColumn("cdist", VectorFunctions.l2Sq(col("vec"), col("cvec")))
-    val w = Window.partitionBy("id").orderBy(col("cdist").asc, col("centroid_id").asc)
-    scored.withColumn("crank", row_number().over(w))
-      .filter(col("crank") === 1)
-      .drop("cvec", "crank")
   }
 
   /** IVF top-k: base vectors are grouped by nearest centroid; each query
@@ -120,26 +157,21 @@ object AnnSearch {
       case Metric.L2 => "l2"; case Metric.InnerProduct => "ip"
       case Metric.Cosine => "cosine"
     }
-    val c = centroids.select(col("centroid_id"), col("vec").as("cvec"))
-    // inverted lists
-    val lists = assignToCentroids(
-      base.select(col("id"), col("vec")), centroids)
+    val cents = collectCentroids(centroids)
+    // inverted lists: shuffle-free argmin assignment
+    val lists = assignLocal(base.select(col("id"), col("vec")), cents)
       .select(col("centroid_id"), col("id").as("base_id"), col("vec").as("bvec"))
-    // query → nprobe nearest centroids
-    val qc = queries.select(col("id").as("query_id"), col("vec").as("qvec"))
-      .crossJoin(broadcast(c))
-      .withColumn("cdist", VectorFunctions.l2Sq(col("qvec"), col("cvec")))
-    val wq = Window.partitionBy("query_id").orderBy(col("cdist").asc, col("centroid_id").asc)
-    val probes = qc.withColumn("crank", row_number().over(wq))
-      .filter(col("crank") <= nprobe)
-      .select(col("query_id"), col("qvec"), col("centroid_id"))
-    // search only the probed lists
+    // query → nprobe nearest centroids: sort the literal centroid scores in
+    // one projection (no join, no window), take the first nprobe
+    val probes = queries.select(col("id").as("query_id"), col("vec").as("qvec"))
+      .withColumn("probe",
+        explode(slice(sort_array(centroidScores(col("qvec"), cents)), 1, nprobe)))
+      .select(col("query_id"), col("qvec"),
+        col("probe")("centroid_id").as("centroid_id"))
+    // search only the probed lists; bounded per-query top-k
     val scored = probes.join(lists, "centroid_id")
       .withColumn("dist",
         VectorFunctions.distByMetric(metricName)(col("qvec"), col("bvec")))
-    val w = Window.partitionBy("query_id").orderBy(col("dist").asc, col("base_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("base_id"), col("dist"))
+    topKPerQuery(scored, k)
   }
 }

@@ -111,12 +111,16 @@ object KnnJoin {
     require(qIt.hasNext, "kNN join: empty query set")
 
     val norm = metric.needNormalize
-    val blocks = qIt.grouped(queryBlockRows).map(_.toArray).toSeq
-    val partialBlocks = blocks.map { blk =>
+    // one block at a time: the lazy grouped iterator means the driver holds
+    // at most `queryBlockRows` query vectors at any moment; each block's
+    // partial top-k is materialized eagerly (localCheckpoint) so the block's
+    // broadcast can be destroyed before the next block is drained — no
+    // accumulation of broadcasts (or query bytes) across the job's lifetime
+    val partialBlocks = qIt.grouped(queryBlockRows).map { blk =>
       val qWide: Array[(Long, Array[Double])] =
-        blk.map { case (id, v) => (id, widen(v, norm)) }
+        blk.iterator.map { case (id, v) => (id, widen(v, norm)) }.toArray
       val bc = spark.sparkContext.broadcast(qWide)
-      baseDs.mapPartitions { it =>
+      val partial = baseDs.mapPartitions { it =>
         val qs = bc.value
         val heaps = Array.fill(qs.length)(new BoundedTopK(k))
         it.foreach { case (bid, bvec) =>
@@ -131,8 +135,10 @@ object KnnJoin {
           val r = heaps(qi).result()
           if (r.isEmpty) None else Some((qs(qi)._1, r))
         }
-      }
-    }
+      }.localCheckpoint() // eager: only partitions×k rows per query persist
+      bc.destroy()
+      partial
+    }.toList
     val partials = partialBlocks.reduce(_ union _).toDF("query_id", "partial")
     partials.groupBy("query_id")
       .agg(slice(sort_array(flatten(collect_list(col("partial")))), 1, k).as("knn0"))

@@ -33,6 +33,12 @@ object NearDup {
   // 3 x 8-bit chunks: 256 bucket values per chunk keeps candidate blowup
   // low; pigeonhole guarantees full recall for hamming <= chunks-1 = 2
   val SimHashChunks = 3
+  /** Bucket-skew guard: buckets larger than this are decomposed into
+    * block-pair tasks of at most 2×MaxBucketSize members each, so the
+    * largest bucket never becomes a single straggler task (the all-pairs
+    * work is O(bucket²) — one hot bucket would otherwise serialize the
+    * whole stage). */
+  val MaxBucketSize = 256
 
   // ---- building blocks ----------------------------------------------------
 
@@ -65,10 +71,41 @@ object NearDup {
     docs.select(col(idCol), shingleHashes(col(textCol)).as("shingles"))
       .withColumn("sig", minHashSignature(col("shingles")))
 
+  /** Block-pair decomposition of per-bucket pair generation — the skew
+    * guard shared by MinHash-LSH and SimHash candidates. Members of a
+    * bucket (identified by `keys`) are assigned to `ceil(bucketSize /
+    * maxBucket)` blocks by id hash, and every member is replicated to each
+    * unordered block pair (blo, bhi) it belongs to. Pair generation then
+    * runs per (bucket, blo, bhi) group — at most 2×maxBucket members per
+    * task — so a hot bucket of size b becomes ~(b/maxBucket)² bounded
+    * tasks instead of one O(b²) straggler. Id hash (not a hash of the
+    * remaining signature bits) keeps blocks even in the adversarial
+    * all-identical-documents corpus, where content-derived bits collide
+    * by definition. Every within-bucket pair lands in exactly one group:
+    * (blockOf(x), blockOf(y)) sorted. Output columns: `keys`, blo, bhi,
+    * m (payload struct + blk). */
+  private[graft] def blockPairGroups(banded: DataFrame, keys: Seq[String],
+                                     idCol: String, payload: Column,
+                                     maxBucket: Int): DataFrame = {
+    val keyCols = keys.map(col)
+    val counts = banded.groupBy(keyCols: _*).agg(count(lit(1)).as("bsz"))
+    banded.join(counts, keys)
+      .withColumn("nblk", ceil(col("bsz") / lit(maxBucket)).cast("int"))
+      .withColumn("blk", pmod(hash(col(idCol)), col("nblk")).cast("int"))
+      .withColumn("other", explode(sequence(lit(0), col("nblk") - 1)))
+      .select(keyCols ++ Seq(
+        least(col("blk"), col("other")).as("blo"),
+        greatest(col("blk"), col("other")).as("bhi"),
+        payload.as("m")): _*)
+  }
+
   /** LSH candidate pairs: docs sharing at least one band key.
     * Output (id_a, id_b) with id_a < id_b, distinct. Shuffles only
-    * (band, key, id) triples — the text never moves. */
-  def lshCandidates(sigs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    * (band, key, id) triples — the text never moves; oversized buckets
+    * are decomposed into bounded block-pair tasks (no single-task
+    * stragglers on hot bands). */
+  def lshCandidates(sigs: DataFrame, idCol: String = "doc_id",
+                    maxBucket: Int = MaxBucketSize): DataFrame = {
     val spark = sigs.sparkSession
     import spark.implicits._
     val banded = sigs.select(
@@ -78,19 +115,30 @@ object NearDup {
         (0 until RowsPerBand).map(r => col("sig")(bnd * RowsPerBand + r))
           .reduceLeft((acc, x) => acc * HashMod + x)
       }: _*)).as(Seq("band", "key")))
-    // pairs are generated INSIDE each bucket group (one shuffle of (band,
-    // key, id) triples) rather than by self-joining the banded table —
-    // the shuffle carries bucket member lists, never the candidate
-    // cross-product
-    banded.groupBy("band", "key")
-      .agg(collect_list(col(idCol)).as("members"))
-      .select(col("members")).as[Seq[Long]]
-      .flatMap { ms =>
-        val arr = ms.sorted.toArray
-        for {
-          i <- arr.indices.iterator
-          j <- (i + 1) until arr.length
-        } yield (arr(i), arr(j))
+    blockPairGroups(banded, Seq("band", "key"), idCol,
+      struct(col(idCol).as("id"), col("blk")), maxBucket)
+      .groupBy("band", "key", "blo", "bhi")
+      .agg(collect_list(col("m")).as("members"))
+      .select(col("blo") === col("bhi"), col("members"))
+      .as[(Boolean, Seq[(Long, Int)])]
+      .flatMap { case (sameBlock, ms) =>
+        if (sameBlock) {
+          val arr = ms.iterator.map(_._1).toArray.sorted
+          for {
+            i <- arr.indices.iterator
+            j <- (i + 1) until arr.length
+          } yield (arr(i), arr(j))
+        } else {
+          // cross-block group: members of the two blocks; blo members
+          // pair with bhi members (each unordered pair exactly once)
+          val loBlk = ms.iterator.map(_._2).min
+          val lo = ms.iterator.filter(_._2 == loBlk).map(_._1).toArray
+          val hi = ms.iterator.filter(_._2 != loBlk).map(_._1).toArray
+          for {
+            a <- lo.iterator
+            b <- hi.iterator
+          } yield (math.min(a, b), math.max(a, b))
+        }
       }.distinct()
       .toDF("id_a", "id_b")
   }
@@ -137,33 +185,54 @@ object NearDup {
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`.
     * Candidates via chunk banding (pigeonhole: distance ≤ chunks-1
     * guarantees an equal chunk; larger distances may be missed — that is
-    * the standard SimHash recall/cost trade). */
+    * the standard SimHash recall/cost trade). Pair generation + hamming
+    * filter run inside bounded block-pair groups (see [[blockPairGroups]])
+    * so the candidate cross-product never hits an exchange AND a hot
+    * bucket never becomes one straggler task. */
   def simHashPairs(docs: DataFrame, maxHamming: Int = SimHashChunks - 1,
-                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                   textCol: String = "text", idCol: String = "doc_id",
+                   maxBucket: Int = MaxBucketSize): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val bitsPerChunk = SimHashBits / SimHashChunks
+    // the simhash expression (24 bit-count aggregates over token hashes) is
+    // the expensive single-pass stage; the block decomposition references
+    // the banded table twice (bucket counts + members), so materialize the
+    // per-doc signatures once — 2 longs per doc, not the text
     val sh = docs.select(col(idCol), simHash(col(textCol)).as("simhash"))
+      .persist()
     val banded = sh.select(col(idCol), col("simhash"),
       posexplode(array((0 until SimHashChunks).map { c =>
         shiftright(col("simhash"), c * bitsPerChunk)
           .bitwiseAND(lit((1L << bitsPerChunk) - 1))
       }: _*)).as(Seq("chunk", "key")))
-    // pair generation + hamming filter INSIDE each bucket group: the
-    // shuffle carries bucket member lists and the (tiny) passing pairs —
-    // the candidate cross-product never hits an exchange
-    banded.groupBy("chunk", "key")
-      .agg(collect_list(struct(col(idCol).as("id"), col("simhash").as("sh")))
-        .as("members"))
-      .select(col("members")).as[Seq[(Long, Long)]]
-      .flatMap { ms =>
-        val arr = ms.sortBy(_._1).toArray
-        for {
-          i <- arr.indices.iterator
-          j <- (i + 1) until arr.length
-          h = java.lang.Long.bitCount(arr(i)._2 ^ arr(j)._2)
-          if h <= maxHamming
-        } yield (arr(i)._1, arr(j)._1, h)
+    blockPairGroups(banded, Seq("chunk", "key"), idCol,
+      struct(col(idCol).as("id"), col("simhash").as("sh"), col("blk")),
+      maxBucket)
+      .groupBy("chunk", "key", "blo", "bhi")
+      .agg(collect_list(col("m")).as("members"))
+      .select(col("blo") === col("bhi"), col("members"))
+      .as[(Boolean, Seq[(Long, Long, Int)])]
+      .flatMap { case (sameBlock, ms) =>
+        if (sameBlock) {
+          val arr = ms.sortBy(_._1).toArray
+          for {
+            i <- arr.indices.iterator
+            j <- (i + 1) until arr.length
+            h = java.lang.Long.bitCount(arr(i)._2 ^ arr(j)._2)
+            if h <= maxHamming
+          } yield (arr(i)._1, arr(j)._1, h)
+        } else {
+          val loBlk = ms.iterator.map(_._3).min
+          val lo = ms.filter(_._3 == loBlk).sortBy(_._1).toArray
+          val hi = ms.filter(_._3 != loBlk).sortBy(_._1).toArray
+          for {
+            a <- lo.iterator
+            b <- hi.iterator
+            h = java.lang.Long.bitCount(a._2 ^ b._2)
+            if h <= maxHamming
+          } yield (math.min(a._1, b._1), math.max(a._1, b._1), h)
+        }
       }.distinct()
       .toDF("id_a", "id_b", "hamming")
       .withColumn("hamming", col("hamming").cast("int"))

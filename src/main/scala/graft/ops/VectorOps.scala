@@ -39,15 +39,22 @@ object VectorOps {
   /** CLIP4Clip-style mean pooling (reference: prepare_for_clip_webvid.py:
     * 93-101): L2-normalize each vector, average per group, re-normalize.
     * Input (vec, <groupCol>); output (<groupCol>, pos, v) exploded — the
-    * pooled vector in exploded form, oracle-friendly. */
+    * pooled vector in exploded form, oracle-friendly.
+    *
+    * Scale shape: one array-summing partial/final aggregate per group
+    * ([[graft.functions.VecMeanAggregator]]) — the shuffle carries at most
+    * `numPartitions` array rows per group, not `rows × dim` exploded
+    * scalars (a `dim`× shuffle amplification at CLIP dims). Re-normalize
+    * and explode are post-aggregation projections on `numGroups` rows. */
   def meanPoolNormalized(vectors: DataFrame, groupCol: String): DataFrame = {
-    val ex = vectors
+    val pooled = vectors
       .withColumn("nvec", VectorFunctions.l2Normalize(col("vec")))
-      .select(col(groupCol), posexplode(col("nvec")).as(Seq("pos", "x")))
-    val m = ex.groupBy(groupCol, "pos").agg(avg(col("x")).as("mx"))
-    val nrm = m.groupBy(groupCol).agg(sqrt(sum(col("mx") * col("mx"))).as("nrm"))
-    m.join(nrm, groupCol)
-      .select(col(groupCol), col("pos"), (col("mx") / col("nrm")).as("v"))
+      .groupBy(groupCol)
+      .agg(graft.functions.VecMeanAggregator.meanVec(col("nvec")).as("mvec"))
+    val nrm = sqrt(aggregate(col("mvec"), lit(0.0), (acc, x) => acc + x * x))
+    pooled
+      .select(col(groupCol), transform(col("mvec"), _ / nrm).as("pv"))
+      .select(col(groupCol), posexplode(col("pv")).as(Seq("pos", "v")))
   }
 
   /** Pairwise distance exposure (F1/F2/F4): for consecutive id pairs,

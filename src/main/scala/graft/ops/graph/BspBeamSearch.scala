@@ -32,11 +32,15 @@ object BspBeamSearch {
     * @param queries  [id: long, vec: array<float>]
     * @param ep       entry-point node id (external)
     * @param frontierWidth beams expand this many pool entries per round
+    * @param excludeSelf  build-time self-search mode (Q4 semantics,
+    *                     src/index_bipartite.cpp:1330): a query whose id
+    *                     matches a candidate node never pools itself
     * @return [query_id, ids: array<long>, dists: array<double>] top-k
     */
   def search(adj: DataFrame, vectors: DataFrame, queries: DataFrame,
              k: Int, l: Int, ep: Long, metric: Metric,
-             frontierWidth: Int = 4, maxRounds: Int = 64): DataFrame = {
+             frontierWidth: Int = 4, maxRounds: Int = 64,
+             excludeSelf: Boolean = false): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
     require(!metric.needNormalize,
@@ -69,8 +73,8 @@ object BspBeamSearch {
       }.localCheckpoint()
 
     var round = 0
-    var remaining = 1L
-    while (remaining > 0 && round < maxRounds) {
+    var done = false
+    while (!done && round < maxRounds) {
       // frontier: best `frontierWidth` unexpanded entries per query
       val frontier = state.flatMap { case (qid, pool) =>
         pool.iterator.filter(!_.expanded).take(frontierWidth)
@@ -81,6 +85,7 @@ object BspBeamSearch {
       val cands = frontier
         .join(adj, col("node") === col("src"))
         .select(col("qid"), explode(col("nbrs")).as("nbr"))
+        .filter(if (excludeSelf) col("nbr") =!= col("qid") else lit(true))
         .distinct()
         .join(vectors, col("nbr") === col("id")) // shuffle keyed by node id
         .select(col("qid"), col("nbr"), col("vec"))
@@ -88,8 +93,14 @@ object BspBeamSearch {
         .as[(Long, Long, Array[Float], Array[Float])]
         .map { case (qid, nbr, nvec, qv) => (qid, nbr, metric.dist(qv, nvec)) }
 
-      // per-query merge: mark this round's frontier expanded, fold in cands
+      // per-query merge: mark this round's frontier expanded, fold in cands.
+      // Convergence is observed via an accumulator populated by the SAME job
+      // that materializes the round (eager localCheckpoint) — no second
+      // driver action per round (a `count()` here would double every
+      // round's job count). Task retries can only over-count, and the
+      // test is `== 0`, so the check stays exact.
       val fw = frontierWidth
+      val unexpandedAcc = spark.sparkContext.longAccumulator(s"bsp_unexpanded_r$round")
       state = state
         .groupByKey(_._1)
         .cogroup(cands.groupByKey(_._1)) { (qid, st, cs) =>
@@ -99,16 +110,18 @@ object BspBeamSearch {
               if (!e.expanded && budget > 0) { budget -= 1; e.copy(expanded = true) }
               else e
             }
-            (qid, mergePool(marked, cs.map(c => (c._2, c._3))))
+            val merged = mergePool(marked, cs.map(c => (c._2, c._3)))
+            if (merged.exists(!_.expanded)) unexpandedAcc.add(1)
+            (qid, merged)
           }
         }.localCheckpoint() // cut lineage: each round is one materialized BSP step
 
-      remaining = state.filter(_._2.exists(!_.expanded)).count()
+      done = unexpandedAcc.value == 0
       round += 1
     }
 
     state.map { case (qid, pool) =>
-      val top = pool.take(k)
+      val top = (if (excludeSelf) pool.filter(_.id != qid) else pool).take(k)
       (qid, top.map(_.id), top.map(_.dist))
     }.toDF("query_id", "ids", "dists")
   }

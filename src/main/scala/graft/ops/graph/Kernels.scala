@@ -207,6 +207,59 @@ object OcclusionPrune {
     }
     result.toArray
   }
+
+  /** The same prune over candidates that CARRY their vectors — the
+    * distributed-build variant, where no global [[VecStore]] exists and
+    * candidate↔candidate distances are computed from the group-local
+    * vectors (external long ids). `cands`: (id, distToTarget, vec), may
+    * contain duplicates and the target itself (`targetId` excluded). */
+  def pruneVecs(cands: Array[(Long, Double, Array[Float])], targetId: Long,
+                m: Int, metric: graft.core.Metric,
+                backfill: Boolean = true): Array[Long] = {
+    if (cands.isEmpty) return Array.empty
+    val best = new java.util.HashMap[Long, (Double, Array[Float])]()
+    cands.foreach { case (id, d, v) =>
+      if (id != targetId) {
+        val prev = best.get(id)
+        if (prev == null || d < prev._1) best.put(id, (d, v))
+      }
+    }
+    if (best.isEmpty) return Array.empty
+    val pool = new Array[(Long, Double, Array[Float])](best.size)
+    var i = 0
+    val it = best.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      pool(i) = (e.getKey, e.getValue._1, e.getValue._2); i += 1
+    }
+    java.util.Arrays.sort(pool,
+      Ordering.by((p: (Long, Double, Array[Float])) => (p._2, p._1)))
+
+    val kept = new scala.collection.mutable.ArrayBuffer[(Long, Array[Float])](m)
+    kept += ((pool(0)._1, pool(0)._3))
+    var s = 1
+    while (kept.length < m && s < pool.length) {
+      val (pid, pdist, pvec) = pool(s)
+      var occlude = false
+      var t = 0
+      while (!occlude && t < kept.length) {
+        if (kept(t)._1 == pid) occlude = true
+        else if (metric.dist(pvec, kept(t)._2) < pdist) occlude = true
+        t += 1
+      }
+      if (!occlude) kept += ((pid, pvec))
+      s += 1
+    }
+    val result = kept.map(_._1)
+    if (backfill) {
+      s = 1
+      while (result.length < m && s < pool.length) {
+        if (!result.contains(pool(s)._1)) result += pool(s)._1
+        s += 1
+      }
+    }
+    result.toArray
+  }
 }
 
 /** Best-first beam search over an adjacency graph (Q1 SearchRoarGraph,
@@ -237,16 +290,31 @@ object BeamSearch {
   }
 
   /** One query. `exclude` (build-time self-search) skips that node during
-    * expansion exactly like Q4's `nbr == tgt` check (:1330). */
+    * expansion exactly like Q4's `nbr == tgt` check (:1330). `seeds` adds
+    * extra entry nodes beside `ep` — the deterministic analogue of the
+    * reference's random multi-seeding (src/index_bipartite.cpp:287-294),
+    * which rescues recall on graphs where parts are unreachable from the
+    * single entry point. */
   def search(adj: Array[Array[Int]], vs: VecStore, query: Array[Float],
              k: Int, l: Int, ep: Int, visited: Visited,
-             exclude: Int = -1, collectPool: Boolean = false): Result = {
+             exclude: Int = -1, collectPool: Boolean = false,
+             seeds: Array[Int] = Array.empty): Result = {
     val queue = new NeighborQueue(l)
     visited.nextEpoch()
     var cmps = 0
     var hops = 0
     queue.insert(ep, vs.distTo(ep, query))
     visited.set(ep)
+    var si = 0
+    while (si < seeds.length) {
+      val s = seeds(si)
+      if (s != exclude && !visited.test(s)) {
+        visited.set(s)
+        queue.insert(s, vs.distTo(s, query))
+        cmps += 1
+      }
+      si += 1
+    }
     val pool =
       if (collectPool) new scala.collection.mutable.ArrayBuffer[(Int, Double)](l)
       else null

@@ -196,6 +196,69 @@ object QueriesVector {
        |SELECT round(avg(err_sum) / 10, 6) AS mean_rderr FROM per""".stripMargin
   }
 
+  // ---- rderr via the gt-with-dists .ibin codec (S3b + E2) ----------------
+
+  /** Same rderr computation, but the ground truth makes a round trip
+    * through the reference's gt-with-dists `.ibin` fixture format
+    * (include/efanna2e/util.h:129-155): exact kNN → writeGtWithDist →
+    * readGtWithDist → E2. Distances quantize to float32 on the way through
+    * the file — exactly what happens when evaluating against the
+    * reference's own published ground-truth files — so the oracle casts
+    * its gt distances to FLOAT too. */
+  private def rderrIbinQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 10
+    val gt = KnnJoin(qSide(s, dir), bSide(s, dir), k, Metric.L2)
+      .select(col("query_id"),
+        transform(col("knn"), _("id").cast("int")).as("ids"),
+        transform(col("knn"), _("dist").cast("float")).as("dists"))
+      .cache()
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_gt_${math.abs(dir.hashCode)}.ibin"
+    graft.sources.FbinCodec.writeGtWithDist(
+      gt.select(col("query_id").as("id"), col("ids"), col("dists")), tmp)
+    // row i of the file ↔ i-th smallest query_id (positional contract)
+    val qids = gt.select(col("query_id")).orderBy("query_id").as[Long].collect()
+    val mapping = qids.zipWithIndex
+      .map { case (q, i) => (i.toLong, q) }.toSeq.toDF("id", "query_id")
+    val gtBack = graft.sources.FbinCodec.readGtWithDist(s, tmp)
+      .join(broadcast(mapping), "id")
+      .select(col("query_id"), col("dists"))
+    val res = graft.ops.AnnSearch.lshTopK(qSide(s, dir), bSide(s, dir), k, Metric.L2)
+      .groupBy("query_id")
+      .agg(sort_array(collect_list(struct(col("rank"), col("dist")))).as("rd0"))
+      .filter(size(col("rd0")) >= k)
+      .select(col("query_id"), transform(col("rd0"), _("dist")).as("dists"))
+    val out = Eval.relativeDistError(res, gtBack, k, "l2")
+      .select(round(col("mean_rderr"), 6).as("mean_rderr"))
+    gt.unpersist()
+    out
+  }
+
+  private val rderrIbinOracle = {
+    val bucket = (0 until graft.ops.AnnSearch.LshBits).map { d =>
+      s"(CASE WHEN CAST(embedding[${2 * d + 1}] AS DOUBLE) - CAST(embedding[${2 * d + 2}] AS DOUBLE) >= 0 THEN ${1L << d} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    val probes = ("bucket" +: (0 until graft.ops.AnnSearch.LshBits)
+      .map(j => s"xor(bucket, ${1L << j})")).mkString("[", ", ", "]")
+    s"""WITH q0 AS (SELECT vec_id AS qid, embedding AS qe, $bucket AS bucket
+       |            FROM embeddings WHERE vec_id < 20),
+       |q AS (SELECT qid, qe, unnest($probes) AS bucket FROM q0),
+       |b AS (SELECT vec_id AS bid, embedding AS be, $bucket AS bucket
+       |      FROM embeddings WHERE vec_id >= 20),
+       |ap AS (SELECT qid, bid, $l2SqlDist AS dist,
+       |         row_number() OVER (PARTITION BY qid ORDER BY $l2SqlDist, bid) AS rnk
+       |       FROM q JOIN b USING (bucket) QUALIFY rnk <= 10),
+       |fullq AS (SELECT qid FROM ap GROUP BY qid HAVING count(*) = 10),
+       |gt AS (SELECT qid, bid, CAST($l2SqlDist AS FLOAT) AS dist,
+       |         row_number() OVER (PARTITION BY qid ORDER BY $l2SqlDist, bid) AS rnk
+       |       FROM (SELECT qid, qe FROM q0) q, b QUALIFY rnk <= 10),
+       |e AS (SELECT ap.qid, abs(ap.dist - gt.dist) / abs(gt.dist) AS err
+       |      FROM ap JOIN gt ON ap.qid = gt.qid AND ap.rnk = gt.rnk
+       |      JOIN fullq ON fullq.qid = ap.qid),
+       |per AS (SELECT qid, sum(err) AS err_sum FROM e GROUP BY qid)
+       |SELECT round(avg(err_sum) / 10, 6) AS mean_rderr FROM per""".stripMargin
+  }
+
   // ---- degree stats (A6) over the kNN-derived reverse graph --------------
 
   private def degreeStatsQuery(s: SparkSession, dir: String): DataFrame = {
@@ -227,6 +290,7 @@ object QueriesVector {
     "vec_distances" -> (distancesQuery _),
     "knn_recall" -> (recallQuery _),
     "knn_rderr" -> (rderrQuery _),
+    "knn_rderr_ibin" -> (rderrIbinQuery _),
     "vec_norm_stats" -> (normStatsQuery _),
     "graph_degree_stats" -> (degreeStatsQuery _),
   )
@@ -241,6 +305,7 @@ object QueriesVector {
     "vec_distances" -> distancesOracle,
     "knn_recall" -> recallOracle,
     "knn_rderr" -> rderrOracle,
+    "knn_rderr_ibin" -> rderrIbinOracle,
     "vec_norm_stats" -> normStatsOracle,
     "graph_degree_stats" -> degreeStatsOracle,
   )

@@ -108,9 +108,19 @@ object StreamingEvents {
                   (cst, math.max(clast, last), ccnt + cnt, csum + sm) :: tail
                 case (acc, s) => s :: acc
               }
-            state.update(merged)
-            state.setTimeoutTimestamp(merged.map(_._2).min + gapMs)
-            Iterator.empty
+            // sessions already past the watermark close NOW, from the data
+            // call: no timeout call will fire for them (this group just got
+            // data), and keeping them would set a timeout timestamp <= the
+            // current watermark, which Spark rejects
+            val wm = state.getCurrentWatermarkMs()
+            val (closed, open) = merged.partition(s => s._2 + gapMs <= wm)
+            if (open.isEmpty) state.remove()
+            else {
+              state.update(open)
+              state.setTimeoutTimestamp(open.map(_._2).min + gapMs)
+            }
+            closed.sortBy(_._1).iterator.map(s =>
+              Session(user, s._1, s._2, s._3, s._4))
           }
       }
   }

@@ -72,6 +72,35 @@ class RoarGraphSpec extends SparkSpec {
     assert(recall >= 0.9, s"IP recall@10 = $recall")
   }
 
+  test("deterministic multi-seeding rescues recall on an ep-disconnected graph") {
+    import spark.implicits._
+    import graft.build.GraphIndex
+    import graft.ops.graph.VecStore
+    // two clusters with no cross edges; ep sits in cluster A, the query is
+    // in cluster B — ep-only search can never leave A (recall here is
+    // bounded by reachability), hash-derived seeding must escape
+    val rows = ((0 until 10).map(i => Array(i * 0.01f, 0f, 0f, 0f)) ++
+      (0 until 10).map(i => Array(100f + i * 0.01f, 0f, 0f, 0f))).toArray
+    val vs = VecStore(rows, Metric.L2)
+    val adj = Array.tabulate(20) { i =>
+      if (i < 10) Array((i + 1) % 10) else Array(10 + (i + 1 - 10) % 10)
+    }
+    val disconnected = GraphIndex(adj, ep = 0,
+      ids = Array.tabulate(20)(_.toLong), vs)
+    val queries = Seq((0L, Array(100f, 0f, 0f, 0f))).toDF("id", "vec")
+    def topIds(numSeeds: Int): Seq[Long] =
+      RoarGraphBuilder.searchBatch(disconnected, queries,
+        SearchParams(k = 5, lPq = 10, metric = Metric.L2, numSeeds = numSeeds))
+        .select("ids").as[Seq[Long]].head()
+    val epOnly = topIds(0)
+    assert(epOnly.forall(_ < 10), s"ep-only search escaped cluster A: $epOnly")
+    val seeded = topIds(16)
+    assert(seeded.forall(_ >= 10),
+      s"multi-seeded search should find the true (cluster-B) neighbors: $seeded")
+    // and seeding is reproducible
+    assert(topIds(16) == seeded)
+  }
+
   test("graph save/load round-trips") {
     implicit val s = spark
     val dir = java.nio.file.Files.createTempDirectory("graft-graph").toString

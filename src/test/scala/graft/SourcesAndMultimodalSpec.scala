@@ -39,6 +39,48 @@ class SourcesAndMultimodalSpec extends SparkSpec {
     assert(back.select(size(col("vec"))).distinct().collect().map(_.getInt(0)).toSeq == Seq(64))
   }
 
+  test("gt-with-dists ibin round-trip preserves ids and float32 dists exactly") {
+    import spark.implicits._
+    val gt = Seq(
+      (0L, Array(3, 1, 4), Array(0.5f, 1.25f, 2.75f)),
+      (1L, Array(1, 5, 9), Array(0.125f, 0.25f, 9.5f)),
+      (2L, Array(2, 6, 5), Array(1.5f, 2.5f, 3.5f)))
+      .toDF("id", "ids", "dists")
+    val dir = java.nio.file.Files.createTempDirectory("graft-gtibin").toString
+    FbinCodec.writeGtWithDist(gt, s"$dir/gt.ibin")
+    val back = FbinCodec.readGtWithDist(spark, s"$dir/gt.ibin")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toSeq, r.getSeq[Float](2).toSeq))
+    assert(back.toSeq == Seq(
+      (0L, Seq(3, 1, 4), Seq(0.5f, 1.25f, 2.75f)),
+      (1L, Seq(1, 5, 9), Seq(0.125f, 0.25f, 9.5f)),
+      (2L, Seq(2, 6, 5), Seq(1.5f, 2.5f, 3.5f))))
+    // file size check mirrors load_gt_meta (util.h:84-105): header + 2 blocks
+    val sz = new java.io.File(s"$dir/gt.ibin").length()
+    assert(sz == 8L + 3 * 3 * 4 * 2)
+  }
+
+  test("abandoned read (limit) does not leak a file handle per partition") {
+    val emb = Tables.vectors(spark, sf0001).select("id", "vec").limit(32)
+    val dir = java.nio.file.Files.createTempDirectory("graft-fbin3").toString
+    val path = s"$dir/leak.fbin"
+    FbinCodec.writeFbin(emb, path)
+    def openHandles(): Int = {
+      val fd = new java.io.File("/proc/self/fd")
+      if (!fd.exists()) 0
+      else fd.listFiles().count { f =>
+        try java.nio.file.Files.readSymbolicLink(f.toPath).toString.endsWith("leak.fbin")
+        catch { case _: Throwable => false }
+      }
+    }
+    // limit(1) abandons each partition's iterator before exhaustion; the
+    // task-completion listener must still close the stream
+    (1 to 4).foreach { _ =>
+      FbinCodec.readFbin(spark, path).limit(1).collect()
+    }
+    assert(openHandles() == 0, "file handles leaked after limit() reads")
+  }
+
   test("multimodal pack → extractFeatures: features sum to 1 and are deterministic") {
     val mm = MultimodalOps.packFromText(Tables.documents(spark, sf0001))
     assert(mm.schema("payload").dataType.typeName == "binary")

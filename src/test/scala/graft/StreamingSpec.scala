@@ -32,6 +32,34 @@ class StreamingSpec extends SparkSpec {
     assert(res.exceptAll(batch).isEmpty && batch.exceptAll(res).isEmpty)
   }
 
+  test("sessionize data call closes already-expired open sessions") {
+    // ADVICE scenario: a user's open session is already past the watermark
+    // when that user's NEXT event arrives (the group gets a data call, so
+    // no timeout call fires) — the data path must emit the expired session
+    // instead of registering a timeout earlier than the watermark (which
+    // Spark rejects, killing the query)
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val events = ms.toDF.toDF("user_id", "ts", "value")
+    val q = StreamingEvents.sessionize(events)
+      .writeStream.format("memory").queryName("test_sess_expired")
+      .outputMode("append").start()
+    def t(msec: Long) = new java.sql.Timestamp(msec)
+    val gap = EventOps.SessionGapMs
+    ms.addData((1L, t(1000), 1.0), (2L, t(1000), 1.0))
+    q.processAllAvailable()
+    ms.addData((2L, t(100 * gap), 1.0)) // watermark sails past user 1's session
+    q.processAllAvailable()
+    ms.addData((1L, t(200 * gap), 1.0)) // data call with an expired open session
+    q.processAllAvailable() // pre-fix: IllegalArgumentException fails the query
+    q.stop()
+    val out = spark.table("test_sess_expired")
+    assert(out.filter(col("user_id") === 1 && col("session_start_ms") === 1000)
+      .count() == 1, "expired open session was not emitted from the data call")
+  }
+
   test("streaming sessionize emits exactly the watermark-closed batch sessions") {
     val stream = StreamingEvents.readEvents(spark, s"$sf0001/events.parquet")
     val sessions = StreamingEvents.sessionize(stream)
