@@ -1,0 +1,242 @@
+package graft.build
+
+import graft.core.{BuildParams, Metric, NeighborVec}
+import graft.functions.{TopKVecAggregator, VecMeanAggregator, VectorFunctions}
+import graft.ops.KnnJoin
+import graft.ops.graph.{BspBeamSearch, OcclusionPrune}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** A RoarGraph index in distributed (DataFrame) form — the build product
+  * of [[DistRoarGraphBuilder]]: adjacency stays a table, like the
+  * reference's on-disk SaveProjectionGraph output
+  * (src/index_bipartite.cpp:2606-2619) rather than its in-RAM working set.
+  *
+  * @param adj    [src: long, nbrs: array<long>], neighbor order meaningful
+  * @param ep     entry-point node id (external)
+  * @param metric build metric (vectors were normalized during the build if
+  *               cosine)
+  */
+final case class DistIndex(adj: DataFrame, ep: Long, metric: Metric)
+
+/** Fully distributed RoarGraph construction — the beyond-broadcast-size
+  * path for SURVEY.md §2.4 G1-G12 (reference LinkProjection,
+  * src/index_bipartite.cpp:1043-1277). Unlike [[RoarGraphBuilder]] (the
+  * fits-in-RAM fast path, mirroring the reference's own shared-memory
+  * model), NO phase here materializes vectors or adjacency on the driver
+  * or in a broadcast: the only driver-side values are scalar aggregates
+  * (the dim-length centroid, the entry-point id, per-round convergence
+  * flags). Every phase is keyed dataflow:
+  *
+  *   - phase 1 (G3/G7): kNN lists → (pivot, cand) edges → vector joins →
+  *     bounded per-pivot candidate aggregation (TopKVecAggregator — a hub
+  *     pivot cannot blow up its group) → group-local occlusion prune;
+  *   - phase 1b/1c (G8/G5): reverse edges by explode, bounded per-node
+  *     reverse-candidate aggregation, deterministic merge + overflow
+  *     re-prune — the shuffle-keyed replacement for the reference's
+  *     per-node locks (include/index_bipartite.h:166);
+  *   - phase 2 (G6/G9/Q4): every base node beam-searches for itself via
+  *     the BSP frontier kernel over the frozen phase-1 graph (graph and
+  *     vectors remain DataFrames; the per-round dataflow is three keyed
+  *     joins), pool pruned per node, supply reverse merge capped at 2m
+  *     (G12), final merge adds ≤ 2m novel supply edges (:1251-1269).
+  *
+  * Candidate groups carry their vectors (NeighborVec) so occlusion
+  * pruning needs no global vector store. Results are deterministic (all
+  * group merges are (dist, id)-ordered); recall is gated by
+  * DistRoarGraphSpec. Reachability repair is a search-time concern here
+  * (SearchParams.numSeeds) — the in-memory builder's driver-side repair
+  * loop does not scale and is deliberately absent.
+  */
+object DistRoarGraphBuilder {
+
+  private def metricName(m: Metric): String = m match {
+    case Metric.L2 => "l2"
+    case _         => "ip" // cosine inputs are pre-normalized below
+  }
+
+  /** Build. `base`/`queries` expose (id, vec: array<float>);
+    * `precomputedKnn`, if given, is [query_id, knn: array<long>] of
+    * EXTERNAL base ids sorted by distance (the S5 LoadLearnBaseKNN input).
+    * `frontierWidth`/`maxRounds` drive the phase-2 BSP self-search. */
+  def build(base: DataFrame, queries: DataFrame, params: BuildParams,
+            precomputedKnn: Option[DataFrame] = None,
+            frontierWidth: Int = 8, maxRounds: Int = 64): DistIndex = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val m = params.mPjbp
+    val metric = params.metric
+    // cosine is lowered to normalize-then-IP exactly like the reference
+    // (src/index_bipartite.cpp:176-182); all internal scoring uses this
+    val scoreMetric = if (metric.needNormalize) Metric.InnerProduct else metric
+    val mn = metricName(scoreMetric)
+
+    def normalized(df: DataFrame): DataFrame =
+      if (!metric.needNormalize) df.select(col("id").cast("long"), col("vec"))
+      else df.select(col("id").cast("long"),
+        transform(VectorFunctions.l2Normalize(col("vec")), _.cast("float"))
+          .as("vec"))
+
+    val baseN = normalized(base).persist(StorageLevel.MEMORY_AND_DISK)
+    val queriesN = normalized(queries)
+
+    // ---- entry point (G22, :2004-2041): centroid argmin under squared L2
+    // (the reference hardcodes L2 here regardless of build metric). The
+    // centroid is a single dim-length aggregate row — the one value small
+    // enough to fold into a literal.
+    val centroid = baseN
+      .agg(VecMeanAggregator.meanVec(VectorFunctions.toDouble(col("vec")))
+        .as("c"))
+      .as[Seq[Double]].head().map(_.toFloat)
+    val ep = baseN
+      .select(col("id"),
+        VectorFunctions.l2Sq(col("vec"), typedLit(centroid)).as("d"))
+      .orderBy(col("d").asc, col("id").asc).limit(1)
+      .select("id").as[Long].head()
+
+    // ---- build input: query → base exact kNN (A1), external ids ----
+    val knn = precomputedKnn.getOrElse(
+      KnnJoin(queriesN, baseN, params.mSq, scoreMetric)
+        .select(col("query_id"), transform(col("knn"), _("id")).as("knn")))
+
+    val candVecs = baseN.select(col("id").as("cand"), col("vec").as("cvec"))
+    val pivotVecs = baseN.select(col("id").as("pivot"), col("vec").as("pvec"))
+
+    // ---- phase 1 (G3, :1059-1097): pivot = 1-NN, rest of the kNN list =
+    // pivot's forward candidates; occlusion-prune per pivot ----
+    val edges = knn
+      .filter(size(col("knn")) >= 2)
+      .select(col("knn")(0).as("pivot"),
+        explode(slice(col("knn"), lit(2), size(col("knn")) - 1)).as("cand"))
+      .filter(col("cand") =!= col("pivot"))
+      .distinct()
+    val capC = math.max(params.mSq, 4 * m)
+    val topCand = TopKVecAggregator.topKVec(capC)
+    val fwdLists = edges
+      .join(candVecs, "cand")
+      .join(pivotVecs, "pivot")
+      .select(col("pivot"), col("cand"),
+        VectorFunctions.distByMetric(mn)(col("pvec"), col("cvec")).as("d"),
+        col("cvec"))
+      .groupBy("pivot")
+      .agg(topCand(col("cand"), col("d"), col("cvec")).as("cands"))
+      .as[(Long, Array[NeighborVec])]
+      .map { case (pivot, cands) =>
+        (pivot, OcclusionPrune.pruneVecs(
+          cands.map(c => (c.id, c.dist, c.vec)), pivot, m, scoreMetric))
+      }.toDF("src", "nbrs")
+      .localCheckpoint()
+
+    // ---- phase 1b/1c (G8/G5): reverse sweep + overflow re-prune ----
+    val projection = mergeReversePhase(fwdLists, baseN, scoreMetric,
+      appendCap = m, pruneTo = m, backfill = true, capRev = 2 * m,
+      finalCap = None).localCheckpoint()
+
+    // ---- phase 2 (G6, :1183-1276): BSP self-search over the frozen
+    // phase-1 snapshot; pool prune (G9: strict pass, no backfill) ----
+    val selfSearch = BspBeamSearch.search(
+      projection, baseN, baseN, k = params.lPjpq, l = params.lPjpq,
+      ep, scoreMetric, frontierWidth, maxRounds, excludeSelf = true)
+    val supplyFwd = selfSearch
+      .select(col("query_id").as("src"),
+        explode(arrays_zip(col("dists"), col("ids"))).as("h"))
+      .select(col("src"), col("h.ids").as("cand"), col("h.dists").as("d"))
+      .join(candVecs, "cand")
+      .groupBy("src")
+      // pool is bounded by lPjpq per node — sort for determinism
+      .agg(sort_array(collect_list(struct(col("d"), col("cand"), col("cvec"))))
+        .as("pool"))
+      .as[(Long, Seq[(Double, Long, Array[Float])])]
+      .map { case (src, pool) =>
+        (src, OcclusionPrune.pruneVecs(
+          pool.map(t => (t._2, t._1, t._3)).toArray, src, m, scoreMetric,
+          backfill = false))
+      }.toDF("src", "nbrs")
+      .localCheckpoint()
+
+    // ---- supply reverse (G12 cap 2m) + overflow prune to m (G11), then
+    // the reference's post-pass cap at m (:1224-1248) ----
+    val supplyMerged = mergeReversePhase(supplyFwd, baseN, scoreMetric,
+      appendCap = 2 * m, pruneTo = m, backfill = false, capRev = 2 * m,
+      finalCap = Some(m))
+
+    // ---- merge ≤ 2m novel supply edges into the projection (:1251-1269) --
+    val adj = projection
+      .join(supplyMerged.withColumnRenamed("nbrs", "snbrs"), Seq("src"), "left")
+      .select(col("src"),
+        concat(col("nbrs"),
+          slice(filter(coalesce(col("snbrs"), array().cast("array<bigint>")),
+            x => !array_contains(col("nbrs"), x)), 1, 2 * m)).as("nbrs"))
+      .localCheckpoint()
+
+    baseN.unpersist()
+    DistIndex(adj, ep, metric)
+  }
+
+  /** Bulk reverse-edge merge (G8 ProjectionAddReverse / G12
+    * SupplyAddReverse, src/index_bipartite.cpp:1391-1432 / :1352-1389),
+    * fully keyed: forward lists keep their order (pos), reverse candidates
+    * arrive through a bounded (dist, id) top-`capRev` aggregation (a hub's
+    * reverse fan-in never exceeds the cap anywhere — not even in a task's
+    * aggregation buffer), and the per-node merge appends sorted reverse
+    * candidates while under `appendCap`, occlusion-pruning the union to
+    * `pruneTo` on overflow; `finalCap` applies the phase-2 post-pass
+    * re-prune. */
+  private def mergeReversePhase(fwd: DataFrame, baseN: DataFrame,
+                                metric: Metric, appendCap: Int, pruneTo: Int,
+                                backfill: Boolean, capRev: Int,
+                                finalCap: Option[Int]): DataFrame = {
+    val spark = fwd.sparkSession
+    import spark.implicits._
+    val mn = metricName(metric)
+    val otherVecs = baseN.select(col("id").as("other"), col("vec").as("ovec"))
+    val srcVecs = baseN.select(col("id").as("src"), col("vec").as("svec"))
+
+    val fwdE = fwd
+      .select(col("src"), posexplode(col("nbrs")).as(Seq("pos", "other")))
+      .join(otherVecs, "other")
+      .groupBy("src")
+      .agg(sort_array(collect_list(struct(col("pos"), col("other"), col("ovec"))))
+        .as("fwdl"))
+
+    val topRev = TopKVecAggregator.topKVec(capRev)
+    val revE = fwd
+      .select(col("src").as("other"), explode(col("nbrs")).as("src"))
+      .join(otherVecs, "other")
+      .join(srcVecs, "src")
+      .select(col("src"), col("other"),
+        VectorFunctions.distByMetric(mn)(col("svec"), col("ovec")).as("d"),
+        col("ovec"))
+      .groupBy("src")
+      .agg(topRev(col("other"), col("d"), col("ovec")).as("revl"))
+
+    baseN.select(col("id").as("src"), col("vec").as("svec"))
+      .join(fwdE, Seq("src"), "left")
+      .join(revE, Seq("src"), "left")
+      .as[(Long, Array[Float], Option[Seq[(Int, Long, Array[Float])]],
+        Option[Seq[NeighborVec]])]
+      .map { case (src, svec, fwdlOpt, revlOpt) =>
+        val fwdl = fwdlOpt.getOrElse(Seq.empty)
+        val fwdIds = fwdl.map(_._2).toArray
+        val have = fwdIds.toSet
+        val rev = revlOpt.getOrElse(Seq.empty)
+          .filter(r => r.id != src && !have.contains(r.id))
+        val fwdTriples = fwdl.map(t => (t._2, metric.dist(svec, t._3), t._3))
+        val revTriples = rev.map(r => (r.id, r.dist, r.vec))
+        val ids: Array[Long] =
+          if (fwdIds.length + revTriples.length <= appendCap)
+            fwdIds ++ revTriples.map(_._1)
+          else OcclusionPrune.pruneVecs(
+            (fwdTriples ++ revTriples).toArray, src, pruneTo, metric, backfill)
+        val finalIds = finalCap match {
+          case Some(c) if ids.length > c =>
+            val byId = (fwdTriples ++ revTriples).map(t => (t._1, t)).toMap
+            OcclusionPrune.pruneVecs(ids.flatMap(byId.get(_)).toArray, src, c,
+              metric, backfill = false)
+          case _ => ids
+        }
+        (src, finalIds)
+      }.toDF("src", "nbrs")
+  }
+}

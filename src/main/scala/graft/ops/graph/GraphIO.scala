@@ -54,4 +54,32 @@ object GraphIO {
       (index.ids(i), index.adj(i).map(index.ids(_)))
     }.toDF("src", "nbrs")
   }
+
+  /** Persist a distributed-build product without driver materialization:
+    * the adjacency DataFrame writes straight to parquet (splittable,
+    * partitioned by Spark), only the (ep, metric) meta row touches the
+    * driver. The distributed mirror of SaveProjectionGraph
+    * (src/index_bipartite.cpp:2606-2619). */
+  def saveDist(di: graft.build.DistIndex, path: String)
+              (implicit spark: SparkSession): Unit = {
+    import spark.implicits._
+    di.adj.write.mode("overwrite").parquet(s"$path/adjacency")
+    val metricName = di.metric match {
+      case Metric.L2 => "l2"; case Metric.InnerProduct => "ip"
+      case Metric.Cosine => "cosine"
+    }
+    Seq((di.ep, metricName)).toDF("entry_point", "metric")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a [[graft.build.DistIndex]] — adjacency stays a DataFrame
+    * (ready for [[BspBeamSearch]] or a broadcast-load via
+    * [[GraphSearch.indexFromDist]]); only the meta row is read eagerly. */
+  def loadDist(path: String)(implicit spark: SparkSession): graft.build.DistIndex = {
+    val meta = spark.read.parquet(s"$path/meta").collect().head
+    graft.build.DistIndex(
+      spark.read.parquet(s"$path/adjacency").select(col("src"), col("nbrs")),
+      meta.getAs[Long]("entry_point"),
+      Metric.fromString(meta.getAs[String]("metric")))
+  }
 }

@@ -30,4 +30,16 @@ object GraphSearch {
       }
     GraphIndex(adjArr, RoarGraphBuilder.entryPoint(vs), ids, vs)
   }
+
+  /** Load a distributed-build product ([[graft.build.DistIndex]]) into the
+    * broadcast-search form, keeping the build's entry point. This is the
+    * search-side load step (analogous to LoadProjectionGraph,
+    * src/index_bipartite.cpp:2097-2117) — legitimate only when the index
+    * fits executor memory; past that, search the DistIndex directly with
+    * [[BspBeamSearch]]. */
+  def indexFromDist(di: graft.build.DistIndex, vectors: DataFrame): GraphIndex = {
+    val base = indexFromDF(di.adj, vectors, di.metric)
+    val dense = base.ids.zipWithIndex.toMap
+    base.copy(ep = dense(di.ep))
+  }
 }

@@ -134,6 +134,27 @@ object QueriesGraph {
         col("n_queries"), round(col("mean_rderr"), 6).as("mean_rderr"))
   }
 
+  // ---- fully distributed build (no driver materialization) — rows-only ---
+
+  /** Build the index with [[graft.build.DistRoarGraphBuilder]] — vectors
+    * and adjacency never touch the driver or a broadcast during the build
+    * (the beyond-broadcast-size path) — then search and report recall
+    * beside the in-memory builder's number. Phase-2 beam kept narrow: the
+    * BSP self-search pays per-round join latency, so its width is the
+    * build-cost knob at small scale. */
+  private def roargraphDistRecall(s: SparkSession, dir: String): DataFrame = {
+    val dist = graft.build.DistRoarGraphBuilder.build(
+      bSide(s, dir), qSide(s, dir), buildParams, frontierWidth = 16)
+    val idx = graft.ops.graph.GraphSearch.indexFromDist(dist, bSide(s, dir))
+    val res = RoarGraphBuilder
+      .searchBatch(idx, qSide(s, dir), SearchParams(10, 100, Metric.L2, numSeeds = 4))
+      .select(col("query_id"), col("ids"))
+    val gt = KnnJoin(qSide(s, dir), bSide(s, dir), 10, Metric.L2)
+      .select(col("query_id"), transform(col("knn"), _("id")).as("ids"))
+    Eval.recallAtK(res, gt, 10)
+      .select(round(col("recall_at_k"), 6).as("recall_at_k"), col("n_queries"))
+  }
+
   // ---- registry -----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -142,6 +163,7 @@ object QueriesGraph {
     "bipartite_search_recall" -> (bipartiteSearchRecall _),
     "roargraph_build_stats" -> (roargraphStats _),
     "roargraph_search_recall" -> (roargraphRecall _),
+    "roargraph_dist_recall" -> (roargraphDistRecall _),
   )
 
   val oracles: Map[String, String] = Map(

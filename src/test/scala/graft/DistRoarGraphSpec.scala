@@ -1,0 +1,88 @@
+package graft
+
+import graft.build.{DistRoarGraphBuilder, RoarGraphBuilder}
+import graft.core.{BuildParams, Metric, SearchParams, Tables}
+import graft.ops.KnnJoin
+import graft.ops.graph.GraphSearch
+import org.apache.spark.sql.functions._
+
+/** Gates for the fully distributed RoarGraph build: recall parity with the
+  * in-memory path on sf0.001, determinism, degree caps, and the structural
+  * guarantee the path exists for — no driver materialization of vectors or
+  * adjacency anywhere in the build. */
+class DistRoarGraphSpec extends SparkSpec {
+
+  private lazy val emb = Tables.vectors(spark, sf0001)
+  private lazy val queriesDf = emb.filter(col("id") < 100)
+  private lazy val baseDf = emb.filter(col("id") >= 100)
+  private lazy val params = BuildParams(mSq = 40, mPjbp = 12, lPjpq = 60,
+    metric = Metric.L2)
+  private lazy val dist = DistRoarGraphBuilder.build(baseDf, queriesDf, params)
+
+  test("distributed build clears the recall@10 >= 0.95 gate") {
+    val index = GraphSearch.indexFromDist(dist, baseDf)
+    val res = RoarGraphBuilder.searchBatch(index, queriesDf,
+      SearchParams(k = 10, lPq = 100, metric = Metric.L2, numSeeds = 4))
+      .select(col("query_id"), col("ids"))
+    val gt = KnnJoin(queriesDf, baseDf, 10, Metric.L2)
+      .select(col("query_id"), transform(col("knn"), _("id")).as("ids"))
+    val recall = graft.eval.Eval.recallAtK(res, gt, 10)
+      .collect().head.getAs[Double]("recall_at_k")
+    assert(recall >= 0.95, s"distributed-build recall@10 = $recall")
+  }
+
+  test("adjacency: degree caps, no self-loops, no dup edges, valid ids") {
+    import spark.implicits._
+    val baseIds = baseDf.select(col("id").cast("long")).as[Long]
+      .collect().toSet
+    val rows = dist.adj.as[(Long, Seq[Long])].collect()
+    assert(rows.length == baseIds.size)
+    val cap = 3 * params.mPjbp // m forward + 2m novel supply edges
+    rows.foreach { case (src, nbrs) =>
+      assert(nbrs.length <= cap, s"degree ${nbrs.length} > $cap at $src")
+      assert(!nbrs.contains(src), s"self-loop at $src")
+      assert(nbrs.distinct.length == nbrs.length, s"dup edge at $src")
+      assert(nbrs.forall(baseIds.contains), s"dangling edge at $src")
+    }
+    assert(baseIds.contains(dist.ep))
+  }
+
+  test("distributed build is deterministic") {
+    import spark.implicits._
+    val again = DistRoarGraphBuilder.build(baseDf, queriesDf, params)
+    assert(again.ep == dist.ep)
+    val a = dist.adj.as[(Long, Seq[Long])].collect().sortBy(_._1)
+    val b = again.adj.as[(Long, Seq[Long])].collect().sortBy(_._1)
+    assert(a.length == b.length)
+    a.zip(b).foreach { case ((s1, n1), (s2, n2)) =>
+      assert(s1 == s2 && n1 == n2, s"adjacency differs at $s1")
+    }
+  }
+
+  test("DistIndex save/load round-trips through parquet") {
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-dist").toString
+    graft.ops.graph.GraphIO.saveDist(dist, dir)
+    val back = graft.ops.graph.GraphIO.loadDist(dir)
+    assert(back.ep == dist.ep && back.metric == dist.metric)
+    val a = dist.adj.as[(Long, Seq[Long])].collect().sortBy(_._1)
+    val b = back.adj.as[(Long, Seq[Long])].collect().sortBy(_._1)
+    assert(a.sameElements(b))
+  }
+
+  test("no driver materialization of vectors or adjacency in the build source") {
+    // the structural point of the distributed path: the only permitted
+    // driver-side actions are scalar aggregates (centroid row, entry-point
+    // id). Gate the source itself so a collect cannot creep back in.
+    val src = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths
+      .get("src/main/scala/graft/build/DistRoarGraphBuilder.scala")))
+    assert(!src.contains(".collect()"),
+      "DistRoarGraphBuilder must not collect() anything")
+    assert(!src.contains("broadcast("),
+      "DistRoarGraphBuilder must not broadcast vectors/adjacency")
+    // head() appears exactly twice: the centroid aggregate and the ep argmin
+    val heads = ".head()".r.findAllIn(src).length
+    assert(heads == 2, s"expected exactly 2 scalar head() actions, found $heads")
+  }
+}

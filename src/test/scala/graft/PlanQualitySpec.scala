@@ -30,6 +30,39 @@ class PlanQualitySpec extends SparkSpec {
       s"dimension join fell back to sort-merge:\n$plan")
   }
 
+  test("centroid assignment is a shuffle-free projection (no Exchange, no Window)") {
+    import spark.implicits._
+    val vecs = Tables.vectors(spark, sf001).filter(col("id") >= 20)
+      .select("id", "vec")
+    val cents = Tables.vectors(spark, sf001)
+      .filter(col("id").between(20, 27))
+      .select(col("id").as("centroid_id"), col("vec"))
+    val df = graft.ops.AnnSearch.assignToCentroids(vecs, cents)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"argmin assignment shuffled:\n$plan")
+    assert(!plan.contains("Window"), s"argmin assignment used a window:\n$plan")
+  }
+
+  test("LSH/IVF top-k rank via bounded aggregation, not a window over scored rows") {
+    import graft.core.Metric
+    val emb = Tables.vectors(spark, sf001)
+    val q = emb.filter(col("id") < 20)
+    val b = emb.filter(col("id") >= 20)
+    Seq(
+      graft.ops.AnnSearch.lshTopK(q, b, 10, Metric.L2),
+      graft.ops.AnnSearch.ivfTopK(q, b,
+        b.filter(col("id").between(20, 27))
+          .select(col("id").as("centroid_id"), col("vec")), 10, 2, Metric.L2)
+    ).foreach { df =>
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"scored rows ranked by window:\n$plan")
+      assert(plan.toLowerCase.contains("partial_topkaggregator"),
+        s"no partial top-k aggregation below the exchange:\n$plan")
+    }
+  }
+
   test("exact dedup shuffles hashes, not text") {
     val df = graft.ops.Dedup.exactGroups(Tables.documents(spark, sf001))
     df.collect()
