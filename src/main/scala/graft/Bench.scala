@@ -22,9 +22,18 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // warmup: JVM/codegen/parquet-footer costs land here, not on the first
-    // timed query
+    // timed query — mirroring the reference's own 100-query warmup before
+    // its timed sweep (tests/test_search_roargraph.cpp:198-200). The text/
+    // dedup pipelines compile large generated classes (char hashing, the
+    // simhash fold), so run them once over a small slice: the SAME codegen
+    // classes are reused by the timed full-size runs.
     spark.range(100000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    val warmDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .limit(200).cache()
+    graft.ops.NearDup.simHashPairs(warmDocs).count()
+    graft.ops.NearDup.minHashLsh(warmDocs).count()
+    warmDocs.unpersist()
 
     // ---- per-query wall times (the t2 surface) ----
     val results = SparkEntry.queries.map { case (name, fn) =>
@@ -68,8 +77,11 @@ object Bench {
     // 3-shard build+search — timings + recall recorded alongside the kernel
     val adjDf = graft.ops.graph.GraphIO.toDF(index)(spark)
     val tBsp0 = System.nanoTime()
+    // frontierWidth 8: halves the round count vs the default 4 at the same
+    // pool width — per-round job latency is the dominant BSP cost at bench
+    // scale, and recall is pool-width-bound, not frontier-bound
     val bspRes = graft.ops.graph.BspBeamSearch.search(adjDf, base, queries,
-      k = 10, l = 60, ep = index.ids(index.ep), Metric.L2)
+      k = 10, l = 60, ep = index.ids(index.ep), Metric.L2, frontierWidth = 8)
       .select(col("query_id"), col("ids")).cache()
     bspRes.count()
     val bspSec = (System.nanoTime() - tBsp0) / 1e9

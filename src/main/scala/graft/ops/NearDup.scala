@@ -171,15 +171,29 @@ object NearDup {
   // ---- SimHash ------------------------------------------------------------
 
   /** Per-doc SimHash over token-level char hashes: bit b of the fingerprint
-    * is set iff tokens with bit b set are the (weak) majority. */
+    * is set iff tokens with bit b set are the (weak) majority.
+    *
+    * Single-pass: ONE aggregate whose accumulator carries all SimHashBits
+    * counters plus the token count, so each token is char-hashed exactly
+    * once. (The naive per-bit formulation — one aggregate per bit — builds
+    * SimHashBits copies of the token-hash subtree, and Spark's
+    * common-subexpression elimination does not cross higher-order-function
+    * lambda boundaries: it re-hashed every token 24×.) */
   def simHash(text: Column): Column = {
-    val hs = transform(split(text, " "), charHash _)
-    val n = size(hs)
-    (0 until SimHashBits).map { b =>
-      val cnt = aggregate(hs, lit(0L),
-        (acc, h) => acc + shiftright(h, b).bitwiseAND(lit(1L)))
-      when(cnt * 2 >= n, lit(1L << b)).otherwise(lit(0L))
-    }.reduceLeft(_ + _)
+    val th = transform(split(text, " "), charHash _)
+    val zero = struct(
+      array_repeat(lit(0L), SimHashBits).as("c"), lit(0L).as("n"))
+    aggregate(
+      th,
+      zero,
+      (acc, h) => struct(
+        array((0 until SimHashBits).map { b =>
+          acc("c")(b) + shiftright(h, b).bitwiseAND(lit(1L))
+        }: _*).as("c"),
+        (acc("n") + 1L).as("n")),
+      acc => (0 until SimHashBits).map { b =>
+        when(acc("c")(b) * 2 >= acc("n"), lit(1L << b)).otherwise(lit(0L))
+      }.reduceLeft(_ + _))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`.

@@ -79,22 +79,23 @@ object Quantize {
     while (it < iters) {
       val cdf = cents.toSeq.map { case ((s, c), v) => (s, c, v) }
         .toDF("subspace", "centroid_id", "cvec")
+      // assignment = partial-aggregating min over struct(cdist, cid) — the
+      // n×k scored rows never reach an exchange (map-side min); ties by
+      // centroid_id via struct ordering. Update = one array-mean aggregate
+      // per cluster. No window, no sort, two keyed exchanges per iteration.
       val updated = sv.join(broadcast(cdf), "subspace")
         .withColumn("cdist",
           graft.functions.VectorFunctions.l2Sq(col("vec"), col("cvec")))
-        .withColumn("crank", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy("subspace", "id")
-            .orderBy(col("cdist").asc, col("centroid_id").asc)))
-        .filter(col("crank") === 1)
-        .select(col("subspace"), col("centroid_id"),
-          posexplode(col("vec")).as(Seq("pos", "x")))
-        .groupBy("subspace", "centroid_id", "pos")
-        .agg(avg(col("x").cast("double")).as("mx"))
+        .groupBy("subspace", "id")
+        .agg(min(struct(col("cdist"), col("centroid_id"))).as("best"),
+          first(col("vec")).as("vec"))
+        .select(col("subspace"), col("best")("centroid_id").as("centroid_id"),
+          col("vec"))
         .groupBy("subspace", "centroid_id")
-        .agg(sort_array(collect_list(struct(col("pos"), col("mx")))).as("ms"))
-        .select(col("subspace"), col("centroid_id"),
-          transform(col("ms"), _("mx").cast("float")).as("cvec"))
+        .agg(graft.functions.VecMeanAggregator.meanVec(
+          graft.functions.VectorFunctions.toDouble(col("vec"))).as("mv"))
+        .select(col("subspace"), col("centroid_id").cast("int"),
+          transform(col("mv"), _.cast("float")).as("cvec"))
         .as[(Int, Int, Array[Float])].collect()
         .map { case (s, c, v) => ((s, c), v) }.toMap
       cents = cents.map { case (key, old) => (key, updated.getOrElse(key, old)) }
@@ -106,18 +107,25 @@ object Quantize {
   }
 
   /** Encode: per subspace, the nearest codebook entry (ties by code id).
-    * Output (id, codes: array<int> of length m). */
+    * Output (id, codes: array<int> of length m). One broadcast join of
+    * the codebook table + a partial-aggregating min per (subspace, id) —
+    * the n×m×k scored rows never reach an exchange, and (unlike a
+    * per-subspace literal-fold) the plan size is independent of m×k. */
   def pqEncode(vectors: DataFrame, codebooks: DataFrame, m: Int): DataFrame = {
     val dim = vectors.select(size(col("vec"))).head().getInt(0)
     val subDim = dim / m
-    (0 until m).map { s =>
-      val cb = codebooks.filter(col("subspace") === s)
-        .select(col("centroid_id"), col("vec"))
-      AnnSearch.assignToCentroids(
-        vectors.select(col("id"),
-          slice(col("vec"), s * subDim + 1, subDim).as("vec")), cb)
-        .select(col("id"), lit(s).as("subspace"), col("centroid_id").as("code"))
+    val sv = (0 until m).map { s =>
+      vectors.select(lit(s).as("subspace"), col("id"),
+        slice(col("vec"), s * subDim + 1, subDim).as("vec"))
     }.reduce(_ unionByName _)
+    sv.join(broadcast(codebooks.select(col("subspace"),
+        col("centroid_id"), col("vec").as("cvec"))), "subspace")
+      .withColumn("cdist",
+        graft.functions.VectorFunctions.l2Sq(col("vec"), col("cvec")))
+      .groupBy("subspace", "id")
+      .agg(min(struct(col("cdist"), col("centroid_id"))).as("best"))
+      .select(col("id"), col("subspace"),
+        col("best")("centroid_id").as("code"))
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("subspace"), col("code"))))
         .as("cs"))

@@ -204,16 +204,18 @@ object QueriesAnn {
 
   // ---- PQ: product-quantized search recall (reference's vestigial PQ) -----
 
-  private val PqM = 8        // subspaces (64-dim → 8×8)
-  private val PqK = 64       // codes per subspace
+  private val PqM = 16       // subspaces (64-dim → 16×4-d cells)
+  private val PqK = 256      // codes per subspace (1 byte/code)
+  // 16 bytes of codes vs 256 vector bytes = a true 16× compression; the
+  // earlier 8×64 layout quantized 8-d cells with 6-bit codebooks — coarse
+  // cells were the recall floor (0.47), not the code count
   private val PqIters = 2
 
   /** Recall of exact kNN over PQ-reconstructed base vectors (≡ asymmetric
-    * distance computation) vs exact kNN — at 16× compression (8 code bytes
-    * vs 256 vector bytes). The synthetic embeddings are near-isotropic, so
-    * absolute recall is modest by construction; the operator chain
-    * (per-subspace k-means → encode → reconstruct → search) is what is
-    * verified, bit-for-bit against unrolled SQL. */
+    * distance computation) vs exact kNN — at 16× compression (16 code
+    * bytes vs 256 vector bytes). The operator chain (per-subspace k-means
+    * → encode → reconstruct → search) is verified bit-for-bit against
+    * unrolled SQL. */
   private def pqRecallQuery(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Quantize
     val b = bSide(s, dir)
