@@ -126,12 +126,13 @@ object DistRoarGraphBuilder {
         (pivot, OcclusionPrune.pruneVecs(
           cands.map(c => (c.id, c.dist, c.vec)), pivot, m, scoreMetric))
       }.toDF("src", "nbrs")
-      .localCheckpoint()
+    val fwdListsCut = graft.ops.graph.PlanUtil.cutDF(fwdLists)
 
     // ---- phase 1b/1c (G8/G5): reverse sweep + overflow re-prune ----
-    val projection = mergeReversePhase(fwdLists, baseN, scoreMetric,
-      appendCap = m, pruneTo = m, backfill = true, capRev = 2 * m,
-      finalCap = None).localCheckpoint()
+    val projection = graft.ops.graph.PlanUtil.cutDF(
+      mergeReversePhase(fwdListsCut, baseN, scoreMetric,
+        appendCap = m, pruneTo = m, backfill = true, capRev = 2 * m,
+        finalCap = None))
 
     // ---- phase 2 (G6, :1183-1276): BSP self-search over the frozen
     // phase-1 snapshot; pool prune (G9: strict pass, no backfill) ----
@@ -153,11 +154,11 @@ object DistRoarGraphBuilder {
           pool.map(t => (t._2, t._1, t._3)).toArray, src, m, scoreMetric,
           backfill = false))
       }.toDF("src", "nbrs")
-      .localCheckpoint()
+    val supplyFwdCut = graft.ops.graph.PlanUtil.cutDF(supplyFwd)
 
     // ---- supply reverse (G12 cap 2m) + overflow prune to m (G11), then
     // the reference's post-pass cap at m (:1224-1248) ----
-    val supplyMerged = mergeReversePhase(supplyFwd, baseN, scoreMetric,
+    val supplyMerged = mergeReversePhase(supplyFwdCut, baseN, scoreMetric,
       appendCap = 2 * m, pruneTo = m, backfill = false, capRev = 2 * m,
       finalCap = Some(m))
 
@@ -168,10 +169,10 @@ object DistRoarGraphBuilder {
         concat(col("nbrs"),
           slice(filter(coalesce(col("snbrs"), array().cast("array<bigint>")),
             x => !array_contains(col("nbrs"), x)), 1, 2 * m)).as("nbrs"))
-      .localCheckpoint()
+    val adjCut = graft.ops.graph.PlanUtil.cutDF(adj)
 
     baseN.unpersist()
-    DistIndex(adj, ep, metric)
+    DistIndex(adjCut, ep, metric)
   }
 
   /** Bulk reverse-edge merge (G8 ProjectionAddReverse / G12

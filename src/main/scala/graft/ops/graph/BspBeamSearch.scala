@@ -70,7 +70,8 @@ object BspBeamSearch {
       .as[(Long, Array[Float])]
       .map { case (qid, qv) =>
         (qid, Array(Entry(metric.dist(qv, epVec), ep, expanded = false)))
-      }.localCheckpoint()
+      }
+    state = PlanUtil.cut(state)
 
     var round = 0
     var done = false
@@ -114,7 +115,8 @@ object BspBeamSearch {
             if (merged.exists(!_.expanded)) unexpandedAcc.add(1)
             (qid, merged)
           }
-        }.localCheckpoint() // cut lineage: each round is one materialized BSP step
+        }
+      state = PlanUtil.cut(state) // materialize + cut lineage AND stats per round
 
       done = unexpandedAcc.value == 0
       round += 1

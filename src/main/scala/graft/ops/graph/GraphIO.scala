@@ -82,4 +82,42 @@ object GraphIO {
       meta.getAs[Long]("entry_point"),
       Metric.fromString(meta.getAs[String]("metric")))
   }
+
+  private def metricName(m: Metric): String = m match {
+    case Metric.L2 => "l2"; case Metric.InnerProduct => "ip"
+    case Metric.Cosine => "cosine"
+  }
+
+  /** Persist a [[graft.build.DistIndex]] + its vector table with node-id
+    * co-location: adjacency bucketed by `src`, vectors bucketed by `id`
+    * (same bucket count). BSP search joins both tables on node id every
+    * round — with this layout the big sides read pre-partitioned from
+    * disk and never re-shuffle (only the per-round frontier, the small
+    * side, moves). The 100 TB serving layout for an index that exceeds
+    * executor memory. */
+  def saveDistBucketed(di: graft.build.DistIndex, vectors: DataFrame,
+                       db: String, buckets: Int)
+                      (implicit spark: SparkSession): Unit = {
+    import spark.implicits._
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    di.adj.write.mode("overwrite").bucketBy(buckets, "src").sortBy("src")
+      .saveAsTable(s"$db.adjacency")
+    vectors.select(col("id").cast("long"), col("vec"))
+      .write.mode("overwrite").bucketBy(buckets, "id").sortBy("id")
+      .saveAsTable(s"$db.vectors")
+    Seq((di.ep, metricName(di.metric))).toDF("entry_point", "metric")
+      .write.mode("overwrite").saveAsTable(s"$db.meta")
+  }
+
+  /** Load the bucketed layout: (index, vectors) with both big tables
+    * carrying their bucket layout into every downstream join. */
+  def loadDistBucketed(db: String)
+                      (implicit spark: SparkSession): (graft.build.DistIndex, DataFrame) = {
+    val meta = spark.table(s"$db.meta").collect().head
+    (graft.build.DistIndex(
+      spark.table(s"$db.adjacency"),
+      meta.getAs[Long]("entry_point"),
+      Metric.fromString(meta.getAs[String]("metric"))),
+      spark.table(s"$db.vectors"))
+  }
 }

@@ -71,6 +71,47 @@ class DistRoarGraphSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("bucketed DistIndex layout: co-located joins, identical BSP results") {
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val db = "graft_dist_bucket_test"
+    try {
+      graft.ops.graph.GraphIO.saveDistBucketed(dist, baseDf, db, buckets = 8)
+      val (bucketed, bvecs) = graft.ops.graph.GraphIO.loadDistBucketed(db)
+      // the layout claim: adjacency ⋈ vectors on node id plans with no
+      // shuffle on either (bucketed) side
+      val j = bucketed.adj.join(bvecs, col("src") === col("id"))
+        .select(col("src"), size(col("nbrs")).as("deg"), size(col("vec")))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed index join still shuffles:\n$plan")
+      // and BSP search over the bucketed tables is result-identical
+      val qs = queriesDf.limit(20)
+      def run(adj: org.apache.spark.sql.DataFrame,
+              vecs: org.apache.spark.sql.DataFrame) =
+        graft.ops.graph.BspBeamSearch.search(adj, vecs, qs,
+          k = 10, l = 30, ep = dist.ep, graft.core.Metric.L2)
+          .select("query_id", "ids").as[(Long, Seq[Long])].collect()
+          .toMap
+      val plainRes = run(dist.adj, baseDf.select(col("id").cast("long"), col("vec")))
+      val bucketedRes = run(bucketed.adj, bvecs)
+      assert(plainRes == bucketedRes, "bucketed BSP results diverge")
+    } finally spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+  }
+
+  test("plan statistics stay bounded through iterative phases") {
+    // regression gate for the localCheckpoint stats gotcha (PlanUtil):
+    // Spark 4's localCheckpoint preserves the child plan's sizeInBytes, and
+    // join/cogroup stats multiply children — an iterative loop doubles the
+    // BigInt's digits per round (2.5M digits after a 16-round build) and
+    // later optimizer passes hang in million-digit multiplication
+    val digits = dist.adj.queryExecution.analyzed.stats.sizeInBytes
+      .toString.length
+    assert(digits <= 40,
+      s"adjacency sizeInBytes carries $digits digits — stats lineage not cut")
+  }
+
   test("no driver materialization of vectors or adjacency in the build source") {
     // the structural point of the distributed path: the only permitted
     // driver-side actions are scalar aggregates (centroid row, entry-point
