@@ -43,8 +43,13 @@ object Tools {
   *
   * {{{
   * runMain graft.tools.BuildTool --base base.fbin --queries train.fbin \
-  *   --out /path/index --metric ip --M_sq 100 --M_pjbp 35 --L_pjpq 500
+  *   --out /path/index --metric ip --M_sq 100 --M_pjbp 35 --L_pjpq 500 \
+  *   [--tier memory|distributed]
   * }}}
+  *
+  * `--tier distributed` builds with [[graft.build.DistRoarGraphBuilder]]
+  * (no driver/broadcast materialization of vectors or adjacency — for
+  * collections beyond broadcast size) and saves the DataFrame-form index.
   */
 object BuildTool {
   def main(args: Array[String]): Unit = {
@@ -55,16 +60,29 @@ object BuildTool {
       mPjbp = a.getOrElse("M_pjbp", "35").toInt,
       lPjpq = a.getOrElse("L_pjpq", "500").toInt,
       metric = Metric.fromString(a.getOrElse("metric", "ip")))
+    val base = Tools.readVectors(spark, a("base"))
+    val queries = Tools.readVectors(spark, a("queries"))
     val t0 = System.nanoTime()
-    val index = RoarGraphBuilder.build(
-      Tools.readVectors(spark, a("base")),
-      Tools.readVectors(spark, a("queries")), params)
-    val sec = (System.nanoTime() - t0) / 1e9
-    GraphIO.save(index, a("out"))
-    val (avg, mx, mn) = index.degreeStats
-    // the reference's build-time stats (src/index_bipartite.cpp:1156-1179)
-    println(f"build_sec=$sec%.3f n=${index.n} ep=${index.ids(index.ep)} " +
-      f"avg_degree=$avg%.2f max_degree=$mx min_degree=$mn")
+    a.getOrElse("tier", "memory") match {
+      case "distributed" =>
+        val di = graft.build.DistRoarGraphBuilder.build(base, queries, params)
+        GraphIO.saveDist(di, a("out"))
+        val sec = (System.nanoTime() - t0) / 1e9
+        val stats = di.adj.select(
+          count("*"), avg(size(col("nbrs"))),
+          max(size(col("nbrs"))), min(size(col("nbrs")))).collect().head
+        println(f"build_sec=$sec%.3f n=${stats.getLong(0)} ep=${di.ep} " +
+          f"avg_degree=${stats.getDouble(1)}%.2f " +
+          f"max_degree=${stats.getInt(2)} min_degree=${stats.getInt(3)}")
+      case _ =>
+        val index = RoarGraphBuilder.build(base, queries, params)
+        val sec = (System.nanoTime() - t0) / 1e9
+        GraphIO.save(index, a("out"))
+        val (avg, mx, mn) = index.degreeStats
+        // the reference's build-time stats (src/index_bipartite.cpp:1156-1179)
+        println(f"build_sec=$sec%.3f n=${index.n} ep=${index.ids(index.ep)} " +
+          f"avg_degree=$avg%.2f max_degree=$mx min_degree=$mn")
+    }
     spark.stop()
   }
 }
@@ -77,12 +95,20 @@ object BuildTool {
   * }}}
   * `--gt` (parquet [query_id, ids]) enables recall@k; without it the exact
   * kNN join computes ground truth from the index's own vectors.
+  * A distributed-tier index (saved by `BuildTool --tier distributed`)
+  * stores adjacency only — pass `--base <vectors>` to search it (loaded
+  * through the broadcast kernel via GraphSearch.indexFromDist).
   */
 object SearchTool {
   def main(args: Array[String]): Unit = {
     val a = Tools.parseArgs(args)
     implicit val spark: SparkSession = Tools.session()
-    val index = GraphIO.load(a("graph"))
+    val index =
+      if (spark.read.parquet(s"${a("graph")}/adjacency").columns.contains("vec"))
+        GraphIO.load(a("graph"))
+      else graft.ops.graph.GraphSearch.indexFromDist(
+        GraphIO.loadDist(a("graph")),
+        Tools.readVectors(spark, a("base")))
     val queries = Tools.readVectors(spark, a("queries"))
     val k = a.getOrElse("k", "10").toInt
     val sweep = a.getOrElse("L_pq", "10,50,100").split(",").map(_.trim.toInt)

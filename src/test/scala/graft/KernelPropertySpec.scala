@@ -88,6 +88,24 @@ class KernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("pruneVecs (distributed-build variant) == prune (VecStore variant)") {
+    // the distributed build prunes over group-local vectors; it must make
+    // exactly the decisions the in-memory kernel makes on the same pool
+    check("pruneVecs", Prop.forAll(points, Gen.chooseNum(0, 39),
+      Gen.chooseNum(1, 10), Gen.oneOf(true, false)) { (pts, target, m, backfill) =>
+      pts.nonEmpty ==> {
+        val vs = VecStore(pts.map(p => Array(p._1, p._2)).toArray, Metric.L2)
+        val t = target % vs.n
+        val cands = (0 until vs.n).map(i => (i, vs.dist(i, t))).toArray
+        val viaStore = OcclusionPrune.prune(cands, t, m, vs, backfill)
+        val viaVecs = OcclusionPrune.pruneVecs(
+          cands.map { case (i, d) => (i.toLong, d, vs.row(i)) },
+          t.toLong, m, Metric.L2, backfill)
+        viaVecs.sameElements(viaStore.map(_.toLong))
+      }
+    })
+  }
+
   test("OcclusionPrune with backfill reaches min(m, candidates)") {
     check("backfill", Prop.forAll(points, Gen.chooseNum(1, 10)) { (pts, m) =>
       (pts.length > 3) ==> {

@@ -40,6 +40,30 @@ class ToolsSpec extends SparkSpec {
     assert(recall >= 0.95, s"tool-path recall@10 = $recall")
   }
 
+  test("distributed-tier CLI workflow: build + saveDist + loadDist + search") {
+    implicit val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-tools-dist").toString
+    val emb = Tables.vectors(spark, sf0001)
+    val base = emb.filter(col("id") >= 100).select("id", "vec")
+    val train = emb.filter(col("id") < 100).select("id", "vec")
+    val di = graft.build.DistRoarGraphBuilder.build(base, train,
+      BuildParams(mSq = 40, mPjbp = 12, lPjpq = 60, metric = Metric.L2))
+    GraphIO.saveDist(di, s"$dir/index")
+    // SearchTool's dist branch: adjacency-only layout detected, vectors
+    // supplied separately, loaded through the broadcast kernel
+    assert(!spark.read.parquet(s"$dir/index/adjacency").columns.contains("vec"))
+    val loaded = graft.ops.graph.GraphSearch.indexFromDist(
+      GraphIO.loadDist(s"$dir/index"), base)
+    val res = RoarGraphBuilder.searchBatch(loaded, train,
+      SearchParams(10, 100, Metric.L2, numSeeds = 4))
+      .select(col("query_id"), col("ids"))
+    val gt = graft.ops.KnnJoin(train, base, 10, Metric.L2)
+      .select(col("query_id"), transform(col("knn"), _("id")).as("ids"))
+    val recall = graft.eval.Eval.recallAtK(res, gt, 10)
+      .collect().head.getAs[Double]("recall_at_k")
+    assert(recall >= 0.95, s"dist tool-path recall@10 = $recall")
+  }
+
   test("arg parsing") {
     val a = Tools.parseArgs(Array("--base", "b.fbin", "--M_sq", "100"))
     assert(a == Map("base" -> "b.fbin", "M_sq" -> "100"))
