@@ -44,6 +44,27 @@ class NativeExpressionSpec extends SparkSpec {
       s"distance projection not inside a codegen stage:\n$plan")
   }
 
+  test("native charHash matches the HOF form on real and adversarial text") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001).select(col("text"))
+      .unionByName(Seq("", " ", "a", "ab cd", "héllo wörld", "𝄞 clef",
+        "tab\tand\nnewline", "ünïcødé mix 字").toDF("text"))
+    val df = docs.select(
+      graft.ops.NearDup.charHash(col("text")).as("n"),
+      graft.ops.NearDup.hofCharHash(col("text")).as("h"))
+    val rows = df.collect()
+    assert(rows.length > 500)
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"charHash mismatch: ${r.getLong(0)} != ${r.getLong(1)}"))
+    // and per-token hashing (the simhash/shingle call shape) agrees too
+    val tok = Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .select(graft.ops.NearDup.charHash(col("t")).as("n"),
+        graft.ops.NearDup.hofCharHash(col("t")).as("h"))
+      .filter(col("n") =!= col("h"))
+    assert(tok.isEmpty, "token-level charHash mismatch")
+  }
+
   test("interpreted eval path (nullSafeEval) agrees with codegen") {
     import graft.functions.L2SqDistance
     import org.apache.spark.sql.catalyst.util.ArrayData
