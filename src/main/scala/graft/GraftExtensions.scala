@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineDistance, L2SqDistance, NegIpDistance}
+import graft.functions.{CharPolyHash, CosineDistance, L2SqDistance, NegIpDistance}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -31,6 +31,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_cosine"),
       info("graft_cosine", "graft_cosine(a, b) - negated cosine similarity"),
       (es: Seq[Expression]) => CosineDistance(es(0), es(1))),
+    (FunctionIdentifier("graft_charhash"),
+      info("graft_charhash", "graft_charhash(s) - char-level polynomial rolling hash (the near-dup family's shingle/token hash)"),
+      (es: Seq[Expression]) => CharPolyHash(es(0))),
   )
 
   /** Register into a live session (createOrReplace — idempotent). */

@@ -23,6 +23,17 @@ class GraftFunctionsSpec extends SparkSpec {
     GraftFunctions.register(spark)
   }
 
+  test("graft_charhash is callable from SQL and equals the Column API") {
+    GraftFunctions.register(spark)
+    Tables.documents(spark, sf0001).limit(100)
+      .createOrReplaceTempView("d_graft_fn")
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_charhash(text) AS h FROM d_graft_fn")
+    val viaCol = spark.table("d_graft_fn")
+      .select(col("doc_id"), graft.ops.NearDup.charHash(col("text")).as("h"))
+    assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
+  }
+
   test("SQL function results equal the Column-API expressions") {
     GraftFunctions.register(spark)
     val e = Tables.vectors(spark, sf0001).limit(50)
