@@ -148,6 +148,52 @@ object AnnSearch {
     centroids.toSeq.toDF("centroid_id", "vec")
   }
 
+  /** Persist the IVF layout at rest: inverted lists as a parquet table
+    * PARTITIONED BY centroid_id (plus the centroid table). Probing then
+    * becomes partition PRUNING — a search touching `nprobe` of `|C|`
+    * centroids reads exactly that fraction of the corpus from disk,
+    * no join and no full scan. The serving layout for IVF at 100 TB. */
+  def saveIvf(base: DataFrame, centroids: DataFrame, path: String): Unit = {
+    val cents = collectCentroids(centroids)
+    assignLocal(base.select(col("id"), col("vec")), cents)
+      .select(col("id"), col("vec"), col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$path/lists")
+    centroids.select(col("centroid_id"), col("vec"))
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** IVF top-k over the persisted layout: the probe set is computed
+    * driver-side from the (small) centroid table, then pushed into the
+    * scan as a static partition filter — the lists table is read only for
+    * the probed partitions. Output (query_id, rank, base_id, dist),
+    * identical to [[ivfTopK]] over the same data. */
+  def ivfTopKTable(spark: org.apache.spark.sql.SparkSession, path: String,
+                   queries: DataFrame, k: Int, nprobe: Int,
+                   metric: Metric): DataFrame = {
+    val metricName = metric match {
+      case Metric.L2 => "l2"; case Metric.InnerProduct => "ip"
+      case Metric.Cosine => "cosine"
+    }
+    val cents = collectCentroids(spark.read.parquet(s"$path/centroids"))
+    val probes = queries.select(col("id").as("query_id"), col("vec").as("qvec"))
+      .withColumn("probe",
+        explode(slice(sort_array(centroidScores(col("qvec"), cents)), 1, nprobe)))
+      .select(col("query_id"), col("qvec"),
+        col("probe")("centroid_id").as("centroid_id"))
+    // distinct probed centroid ids (≤ |C|, driver-small) → static
+    // partition filter on the lists scan
+    val probedIds = probes.select("centroid_id").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val lists = spark.read.parquet(s"$path/lists")
+      .filter(col("centroid_id").isin(probedIds.map(_.asInstanceOf[Any]): _*))
+      .select(col("centroid_id"), col("id").as("base_id"), col("vec").as("bvec"))
+    val scored = probes.join(lists, "centroid_id")
+      .withColumn("dist",
+        VectorFunctions.distByMetric(metricName)(col("qvec"), col("bvec")))
+    topKPerQuery(scored, k)
+  }
+
   /** IVF top-k: base vectors are grouped by nearest centroid; each query
     * probes the `nprobe` nearest centroids' lists. Output
     * (query_id, rank, base_id, dist). */
