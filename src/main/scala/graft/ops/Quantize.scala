@@ -132,6 +132,91 @@ object Quantize {
       .select(col("id"), transform(col("cs"), _("code")).as("codes"))
   }
 
+  /** Asymmetric distance computation (ADC) top-k over PQ codes — the
+    * byte-domain search that makes PQ useful at scale: each query
+    * precomputes per-subspace lookup tables `table[s][j] = l2sq(q_s,
+    * codebook[s][j])`, and a coded vector's distance is `m` array lookups
+    * summed — the scan touches `m` code bytes per vector instead of `dim`
+    * floats (16 B vs 256 B at the 16×4-d layout). Identical result set to
+    * exact kNN over [[pqReconstruct]]ed vectors (ADC distance ≡ distance
+    * to the reconstruction, summed per subspace).
+    *
+    * Physical shape mirrors [[KnnJoin]]: lazy query blocks broadcast one
+    * at a time (tables built executor-side per partition — m×k×subDim
+    * mults per query, trivial), per-partition bounded heaps over the
+    * codes table, partial/final top-k merge; codes never shuffle. Ties by
+    * ascending id. Output (query_id, knn: array<struct<dist, id>>). */
+  def adcTopK(queries: DataFrame, codes: DataFrame, codebooks: DataFrame,
+              k: Int, queryBlockRows: Int = 100000): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    // codebooks are driver-small by construction (m × kcodes × subDim)
+    val cbRows = codebooks.select(col("subspace").cast("int"),
+      col("centroid_id").cast("int"), col("vec"))
+      .as[(Int, Int, Array[Float])].collect()
+    val m = cbRows.iterator.map(_._1).max + 1
+    val kCodes = cbRows.iterator.map(_._2).max + 1
+    val cb = Array.ofDim[Array[Float]](m, kCodes)
+    cbRows.foreach { case (s, c, v) => cb(s)(c) = v }
+    val bcCb = spark.sparkContext.broadcast(cb)
+
+    val codesDs = codes.select(col("id").cast("long"), col("codes"))
+      .as[(Long, Array[Int])]
+    import scala.jdk.CollectionConverters._
+    val qIt = queries.select(col("id").cast("long"), col("vec"))
+      .as[(Long, Array[Float])].toLocalIterator().asScala
+    require(qIt.hasNext, "ADC top-k: empty query set")
+
+    val partialBlocks = qIt.grouped(queryBlockRows).map { blk =>
+      val qArr = blk.toArray
+      val bc = spark.sparkContext.broadcast(qArr)
+      val partial = codesDs.mapPartitions { it =>
+        val qs = bc.value
+        val books = bcCb.value
+        val mm = books.length
+        // per-query per-subspace distance tables, built once per partition
+        val tables: Array[Array[Array[Double]]] = qs.map { case (_, qv) =>
+          val subDim = qv.length / mm
+          Array.tabulate(mm) { s =>
+            Array.tabulate(books(s).length) { j =>
+              val c = books(s)(j)
+              var d = 0.0
+              var t = 0
+              while (t < subDim) {
+                val x = qv(s * subDim + t).toDouble - c(t); d += x * x; t += 1
+              }
+              d
+            }
+          }
+        }
+        val heaps = Array.fill(qs.length)(new KnnJoin.BoundedTopK(k))
+        it.foreach { case (bid, cs) =>
+          var qi = 0
+          while (qi < qs.length) {
+            val tab = tables(qi)
+            var s = 0; var d = 0.0
+            while (s < mm) { d += tab(s)(cs(s)); s += 1 }
+            heaps(qi).push(d, bid)
+            qi += 1
+          }
+        }
+        Iterator.range(0, qs.length).flatMap { qi =>
+          val r = heaps(qi).result()
+          if (r.isEmpty) None else Some((qs(qi)._1, r))
+        }
+      }.localCheckpoint()
+      bc.destroy()
+      partial
+    }.toList
+    partialBlocks.reduce(_ union _).toDF("query_id", "partial")
+      .groupBy("query_id")
+      .agg(slice(sort_array(flatten(collect_list(col("partial")))), 1, k)
+        .as("knn0"))
+      .select(col("query_id"),
+        transform(col("knn0"),
+          x => struct(x("_1").as("dist"), x("_2").as("id"))).as("knn"))
+  }
+
   /** Reconstruct full vectors from PQ codes (the table form of asymmetric
     * distance: exact kNN over reconstructions ≡ ADC). Output (id, vec). */
   def pqReconstruct(codes: DataFrame, codebooks: DataFrame): DataFrame =

@@ -230,11 +230,16 @@ object QueriesAnn {
       .select(round(col("recall_at_k"), 6).as("recall_at_k"), col("n_queries"))
   }
 
-  private val pqRecallOracle = {
-    val dim = 64
-    val sub = dim / PqM
-    def l2(a: String, b: String) =
-      s"list_sum(list_transform(list_zip($a, $b), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+  private val PqDim = 64
+  private def pqL2(a: String, b: String) =
+    s"list_sum(list_transform(list_zip($a, $b), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+
+  /** Common PQ oracle CTEs: per-subspace k-means (unrolled Lloyd's) +
+    * nearest-code encoding — shared by the reconstructed-recall and the
+    * ADC oracles. Leaves c{s}_{PqIters} (codebooks) and code{s} (codes)
+    * defined. */
+  private def pqCommonCtes: scala.collection.mutable.ArrayBuffer[String] = {
+    val sub = PqDim / PqM
     val ctes = scala.collection.mutable.ArrayBuffer(
       "b AS (SELECT vec_id AS bid, embedding AS be FROM embeddings WHERE vec_id >= 20)",
       "q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20)")
@@ -243,22 +248,27 @@ object QueriesAnn {
       ctes += s"bs$s AS (SELECT bid, be[$lo:$hi] AS sv FROM b)"
       ctes += s"c${s}_0 AS (SELECT CAST(row_number() OVER (ORDER BY bid) - 1 AS INT) AS cid, sv AS ce FROM (SELECT bid, sv FROM bs$s ORDER BY bid LIMIT $PqK))"
       (1 to PqIters).foreach { i =>
-        val d = l2("sv", "ce")
+        val d = pqL2("sv", "ce")
         ctes += s"a${s}_$i AS (SELECT bid, sv, cid, row_number() OVER (PARTITION BY bid ORDER BY $d, cid) AS rnk FROM bs$s, c${s}_${i - 1} QUALIFY rnk = 1)"
         ctes += s"e${s}_$i AS (SELECT cid, generate_subscripts(sv, 1) AS pos, CAST(unnest(sv) AS DOUBLE) AS x FROM a${s}_$i)"
         ctes += s"m${s}_$i AS (SELECT cid, pos, CAST(avg(x) AS FLOAT) AS mf FROM e${s}_$i GROUP BY cid, pos)"
         ctes += s"u${s}_$i AS (SELECT cid, list(mf ORDER BY pos) AS ce FROM m${s}_$i GROUP BY cid)"
         ctes += s"c${s}_$i AS (SELECT p.cid, coalesce(u${s}_$i.ce, p.ce) AS ce FROM c${s}_${i - 1} p LEFT JOIN u${s}_$i USING (cid))"
       }
-      val d = l2("sv", "ce")
+      val d = pqL2("sv", "ce")
       ctes += s"code$s AS (SELECT bid, cid AS code, row_number() OVER (PARTITION BY bid ORDER BY $d, cid) AS rnk FROM bs$s, c${s}_$PqIters QUALIFY rnk = 1)"
     }
+    ctes
+  }
+
+  private val pqRecallOracle = {
+    val ctes = pqCommonCtes
     val recParts = (0 until PqM)
       .map(s => s"(SELECT ce FROM c${s}_$PqIters cc WHERE cc.cid = code$s.code)")
       .mkString(" || ")
     val joins = (1 until PqM).map(s => s"JOIN code$s USING (bid)").mkString(" ")
     ctes += s"rec AS (SELECT bid, $recParts AS be FROM code0 $joins)"
-    val l2qb = l2("qe", "be")
+    val l2qb = pqL2("qe", "be")
     ctes += s"ap AS (SELECT qid, bid, row_number() OVER (PARTITION BY qid ORDER BY $l2qb, bid) AS rnk FROM q, rec QUALIFY rnk <= $K)"
     ctes += s"gt AS (SELECT qid, bid, row_number() OVER (PARTITION BY qid ORDER BY $l2qb, bid) AS rnk FROM q, b QUALIFY rnk <= $K)"
     s"""WITH ${ctes.mkString(",\n")},
@@ -266,6 +276,43 @@ object QueriesAnn {
        |per AS (SELECT q.qid, coalesce(h, 0) / $K.0 AS recall
        |        FROM (SELECT DISTINCT qid FROM q) q LEFT JOIN hits USING (qid))
        |SELECT round(avg(recall), 6) AS recall_at_k, count(*) AS n_queries FROM per""".stripMargin
+  }
+
+  // ---- PQ ADC: byte-domain top-k via per-subspace lookup tables ----------
+
+  /** ADC top-k over PQ codes (Quantize.adcTopK): distances are sums of
+    * per-subspace table lookups — same association order as the oracle's
+    * list_sum over per-subspace l2 terms, so even the doubles agree. */
+  private def pqAdcQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Quantize
+    val b = bSide(s, dir)
+    val cb = Quantize.pqTrain(b, PqM, PqK, PqIters)
+    val codes = Quantize.pqEncode(b, cb, PqM)
+    KnnJoin.explodeRanks(Quantize.adcTopK(qSide(s, dir), codes, cb, K))
+      .select(col("query_id"), col("rank"), col("base_id"),
+        round(col("dist"), 6).as("dist"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val pqAdcOracle = {
+    val sub = PqDim / PqM
+    val ctes = pqCommonCtes
+    val joins = (1 until PqM).map(s => s"JOIN code$s USING (bid)").mkString(" ")
+    ctes += s"allcodes AS (SELECT code0.bid AS bid, ${(0 until PqM).map(s => s"code$s.code AS k$s").mkString(", ")} FROM code0 $joins)"
+    ctes += s"codesu AS (${(0 until PqM).map(s => s"SELECT bid, $s AS sub, k$s AS code FROM allcodes").mkString(" UNION ALL ")})"
+    ctes += s"cbs AS (${(0 until PqM).map(s => s"SELECT $s AS sub, cid, ce FROM c${s}_$PqIters").mkString(" UNION ALL ")})"
+    ctes += s"qsl AS (${(0 until PqM).map { s =>
+      val (lo, hi) = (s * sub + 1, (s + 1) * sub)
+      s"SELECT qid, $s AS sub, qe[$lo:$hi] AS qs FROM q"
+    }.mkString(" UNION ALL ")})"
+    val l2t = pqL2("qs", "ce")
+    ctes += s"terms AS (SELECT qsl.qid, codesu.bid, codesu.sub, $l2t AS t FROM codesu JOIN cbs ON cbs.sub = codesu.sub AND cbs.cid = codesu.code JOIN qsl ON qsl.sub = codesu.sub)"
+    ctes += "adc AS (SELECT qid, bid, list_sum(list(t ORDER BY sub)) AS dist FROM terms GROUP BY qid, bid)"
+    ctes += s"r AS (SELECT qid, bid, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, bid) AS rnk FROM adc QUALIFY rnk <= $K)"
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT qid AS query_id, CAST(rnk AS INT) AS rank, bid AS base_id,
+       |       round(dist, 6) AS dist
+       |FROM r ORDER BY query_id, rank""".stripMargin
   }
 
   // ---- registry -----------------------------------------------------------
@@ -277,6 +324,7 @@ object QueriesAnn {
     "ann_kmeans_centroids" -> (kmeansQuery _),
     "ann_sq8_recall" -> (sq8RecallQuery _),
     "ann_pq_recall" -> (pqRecallQuery _),
+    "ann_pq_adc_topk" -> (pqAdcQuery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -286,5 +334,6 @@ object QueriesAnn {
     "ann_kmeans_centroids" -> kmeansOracle,
     "ann_sq8_recall" -> sq8RecallOracle,
     "ann_pq_recall" -> pqRecallOracle,
+    "ann_pq_adc_topk" -> pqAdcOracle,
   )
 }

@@ -28,6 +28,25 @@ class SamplingQuantizeSpec extends SparkSpec {
       docs.select("lang").distinct().count())
   }
 
+  test("ADC top-k ids == exact kNN over PQ reconstructions") {
+    import graft.core.Metric
+    import graft.ops.{KnnJoin, Quantize}
+    val emb = graft.core.Tables.vectors(spark, sf0001)
+    val q = emb.filter(col("id") < 20)
+    val b = emb.filter(col("id") >= 20)
+    val cb = Quantize.pqTrain(b, m = 8, k = 32, iters = 2)
+    val codes = Quantize.pqEncode(b, cb, m = 8)
+    val adc = KnnJoin.explodeRanks(Quantize.adcTopK(q, codes, cb, 10))
+      .select("query_id", "rank", "base_id")
+    val rec = Quantize.pqReconstruct(codes, cb)
+    val viaRec = KnnJoin.explodeRanks(KnnJoin(q, rec, 10, Metric.L2))
+      .select("query_id", "rank", "base_id")
+    // ADC distance ≡ distance to the reconstruction (per-subspace sums);
+    // identical neighbor ids in identical order
+    assert(adc.exceptAll(viaRec).isEmpty && viaRec.exceptAll(adc).isEmpty,
+      "ADC ranking diverges from reconstruction search")
+  }
+
   test("sq8 round-trip error bounded by half a quantization step per dim") {
     val vecs = Tables.vectors(spark, sf0001).select("id", "vec")
     val bounds = Quantize.sq8Bounds(vecs)
