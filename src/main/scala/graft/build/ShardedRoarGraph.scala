@@ -24,18 +24,22 @@ object ShardedRoarGraph {
   private def shardCol(numShards: Int) = pmod(hash(col("id")), lit(numShards))
 
   def build(base: DataFrame, queries: DataFrame, params: BuildParams,
-            numShards: Int): Sharded = {
-    require(numShards > 0)
+            numShards: Int, maxConcurrent: Int = 2): Sharded = {
+    require(numShards > 0 && maxConcurrent > 0)
     val withShard = base.withColumn("_shard", shardCol(numShards))
     // shard builds are independent — run them as concurrent jobs on the
     // shared SparkContext (the scheduler interleaves their stages across
-    // executors), so wall time ≈ max(shard) not sum(shards). Each thread
-    // only submits jobs and holds its own shard's index; determinism is
-    // untouched (shard membership is id-hash, the per-shard build is
-    // deterministic, and results are ordered by shard id).
+    // executors). Concurrency is CAPPED (default 2): each in-flight build
+    // holds its shard's vectors on the driver and broadcast to executors,
+    // so unbounded concurrency would restore the O(|base|) peak footprint
+    // sharding exists to avoid — the bound is O(maxConcurrent × |base| /
+    // numShards) with wall ≈ sum/maxConcurrent. Determinism is untouched
+    // (shard membership is id-hash, the per-shard build is deterministic,
+    // and results are ordered by shard id).
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(numShards)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(numShards, maxConcurrent))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     val shards =
       try Await.result(Future.sequence((0 until numShards).map { s =>

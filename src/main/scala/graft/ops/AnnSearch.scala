@@ -176,11 +176,14 @@ object AnnSearch {
       case Metric.Cosine => "cosine"
     }
     val cents = collectCentroids(spark.read.parquet(s"$path/centroids"))
-    val probes = queries.select(col("id").as("query_id"), col("vec").as("qvec"))
-      .withColumn("probe",
-        explode(slice(sort_array(centroidScores(col("qvec"), cents)), 1, nprobe)))
-      .select(col("query_id"), col("qvec"),
-        col("probe")("centroid_id").as("centroid_id"))
+    // materialized once: both the driver-side distinct-ids collect and the
+    // pruned-list join consume the scored probes
+    val probes = graft.ops.graph.PlanUtil.cutDF(
+      queries.select(col("id").as("query_id"), col("vec").as("qvec"))
+        .withColumn("probe",
+          explode(slice(sort_array(centroidScores(col("qvec"), cents)), 1, nprobe)))
+        .select(col("query_id"), col("qvec"),
+          col("probe")("centroid_id").as("centroid_id")))
     // distinct probed centroid ids (≤ |C|, driver-small) → static
     // partition filter on the lists scan
     val probedIds = probes.select("centroid_id").distinct()

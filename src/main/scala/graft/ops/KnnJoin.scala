@@ -135,11 +135,15 @@ object KnnJoin {
           val r = heaps(qi).result()
           if (r.isEmpty) None else Some((qs(qi)._1, r))
         }
-      }.localCheckpoint() // eager: only partitions×k rows per query persist
+      }
+      // eager materialization (only partitions×k rows per query persist):
+      // reliable checkpoint when the session has a checkpoint dir (survives
+      // executor loss), local otherwise — then the block's broadcast can go
+      val cut = graft.ops.graph.PlanUtil.cutDF(partial.toDF("query_id", "partial"))
       bc.destroy()
-      partial
+      cut
     }.toList
-    val partials = partialBlocks.reduce(_ union _).toDF("query_id", "partial")
+    val partials = partialBlocks.reduce(_ union _)
     partials.groupBy("query_id")
       .agg(slice(sort_array(flatten(collect_list(col("partial")))), 1, k).as("knn0"))
       .select(col("query_id"),

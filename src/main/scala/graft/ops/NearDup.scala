@@ -54,10 +54,16 @@ object NearDup {
     aggregate(transform(split(s, ""), c => ascii(c).cast("long")),
       lit(0L), (acc, x) => (acc * CharBase + x) % HashMod)
 
-  /** Distinct word-`n`-gram shingle hashes of a text column (sorted for
-    * determinism). Whitespace tokens; shingle = space-joined n-gram. */
-  def shingleHashes(text: Column, n: Int = ShingleSize): Column = {
-    val toks = split(text, " ")
+  /** Distinct word-`n`-gram shingle hashes over a TOKEN ARRAY column
+    * (sorted for determinism); shingle = space-joined n-gram.
+    *
+    * `toks` must be a materialized column (not an inline `split(...)`
+    * expression): the per-index lambda references it once per shingle, and
+    * Spark's subexpression elimination does not cross lambda boundaries —
+    * an inline split would re-tokenize the document once PER SHINGLE
+    * (~200× amplification on real text). [[signatures]] projects the
+    * token array first for exactly this reason. */
+  def shingleHashesFromTokens(toks: Column, n: Int = ShingleSize): Column = {
     val cnt = size(toks) - (n - 1)
     // guard: sequence(1, 0) would count DOWN in Spark, not produce empty
     val shingleStrs = when(cnt >= 1,
@@ -66,16 +72,27 @@ object NearDup {
     sort_array(array_distinct(transform(shingleStrs, charHash _)))
   }
 
+  /** Convenience single-expression form over a text column — ONLY for
+    * contexts that cannot pre-project the token array; see the
+    * re-tokenization caveat on [[shingleHashesFromTokens]]. */
+  def shingleHashes(text: Column, n: Int = ShingleSize): Column =
+    shingleHashesFromTokens(split(text, " "), n)
+
   /** MinHash signature: array of min((a_i*x + b_i) mod M) over shingles. */
   def minHashSignature(shingles: Column): Column =
     array(MinHashParams.map { case (a, b) =>
       array_min(transform(shingles, x => (x * a + b) % HashMod))
     }: _*)
 
-  /** Per-doc signatures: (idCol, shingles, sig). */
+  /** Per-doc signatures: (idCol, shingles, sig). Tokenization, shingle
+    * hashing, and the signature are separate projections so no expensive
+    * subexpression lands inside a lambda (each stage reads the previous
+    * stage's materialized column). */
   def signatures(docs: DataFrame, textCol: String = "text",
                  idCol: String = "doc_id"): DataFrame =
-    docs.select(col(idCol), shingleHashes(col(textCol)).as("shingles"))
+    docs.select(col(idCol), split(col(textCol), " ").as("_toks"))
+      .select(col(idCol),
+        shingleHashesFromTokens(col("_toks")).as("shingles"))
       .withColumn("sig", minHashSignature(col("shingles")))
 
   /** Block-pair decomposition of per-bucket pair generation — the skew
@@ -169,9 +186,9 @@ object NearDup {
   def minHashLsh(docs: DataFrame, threshold: Double = 0.5,
                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     // signatures are referenced 4x downstream (both join sides of candidate
-    // generation and of verification); without a cache the shingle hashing —
-    // the expensive single-pass stage — would re-run each time
-    val sigs = signatures(docs, textCol, idCol).cache()
+    // generation and of verification); materialize once — cutDF's
+    // checkpoint blocks are GC-managed, unlike a never-unpersisted cache
+    val sigs = graft.ops.graph.PlanUtil.cutDF(signatures(docs, textCol, idCol))
     jaccardOnPairs(lshCandidates(sigs, idCol), sigs, threshold, idCol)
   }
 
@@ -220,8 +237,11 @@ object NearDup {
     // the expensive single-pass stage; the block decomposition references
     // the banded table twice (bucket counts + members), so materialize the
     // per-doc signatures once — 2 longs per doc, not the text
-    val sh = docs.select(col(idCol), simHash(col(textCol)).as("simhash"))
-      .persist()
+    // materialized once (2 longs per doc) — PlanUtil.cutDF instead of
+    // persist(): checkpoint blocks are GC-managed (no unpersist-never-called
+    // cache entry accumulating across invocations)
+    val sh = graft.ops.graph.PlanUtil.cutDF(
+      docs.select(col(idCol), simHash(col(textCol)).as("simhash")))
     val banded = sh.select(col(idCol), col("simhash"),
       posexplode(array((0 until SimHashChunks).map { c =>
         shiftright(col("simhash"), c * bitsPerChunk)

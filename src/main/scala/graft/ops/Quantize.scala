@@ -145,9 +145,13 @@ object Quantize {
     * at a time (tables built executor-side per partition — m×k×subDim
     * mults per query, trivial), per-partition bounded heaps over the
     * codes table, partial/final top-k merge; codes never shuffle. Ties by
-    * ascending id. Output (query_id, knn: array<struct<dist, id>>). */
+    * ascending id. Output (query_id, knn: array<struct<dist, id>>).
+    *
+    * `queryBlockRows` sizes the PER-TASK table footprint — block × m ×
+    * kCodes doubles (≈32 KB per query at 16×256) — so the default stays
+    * in the tens of MB; raise it only with executor memory to spare. */
   def adcTopK(queries: DataFrame, codes: DataFrame, codebooks: DataFrame,
-              k: Int, queryBlockRows: Int = 100000): DataFrame = {
+              k: Int, queryBlockRows: Int = 1024): DataFrame = {
     val spark = codes.sparkSession
     import spark.implicits._
     // codebooks are driver-small by construction (m × kcodes × subDim)
@@ -204,11 +208,12 @@ object Quantize {
           val r = heaps(qi).result()
           if (r.isEmpty) None else Some((qs(qi)._1, r))
         }
-      }.localCheckpoint()
+      }
+      val cut = graft.ops.graph.PlanUtil.cutDF(partial.toDF("query_id", "partial"))
       bc.destroy()
-      partial
+      cut
     }.toList
-    partialBlocks.reduce(_ union _).toDF("query_id", "partial")
+    partialBlocks.reduce(_ union _)
       .groupBy("query_id")
       .agg(slice(sort_array(flatten(collect_list(col("partial")))), 1, k)
         .as("knn0"))

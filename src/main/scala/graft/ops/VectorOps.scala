@@ -51,9 +51,13 @@ object VectorOps {
       .withColumn("nvec", VectorFunctions.l2Normalize(col("vec")))
       .groupBy(groupCol)
       .agg(graft.functions.VecMeanAggregator.meanVec(col("nvec")).as("mvec"))
-    val nrm = sqrt(aggregate(col("mvec"), lit(0.0), (acc, x) => acc + x * x))
+    // norm lands in its own column first: referencing the aggregate
+    // INSIDE the transform lambda would re-evaluate the O(dim) sum per
+    // element (CSE does not cross lambda boundaries) — O(dim²) per group
     pooled
-      .select(col(groupCol), transform(col("mvec"), _ / nrm).as("pv"))
+      .withColumn("nrm",
+        sqrt(aggregate(col("mvec"), lit(0.0), (acc, x) => acc + x * x)))
+      .select(col(groupCol), transform(col("mvec"), _ / col("nrm")).as("pv"))
       .select(col(groupCol), posexplode(col("pv")).as(Seq("pos", "v")))
   }
 

@@ -22,15 +22,25 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row}
   */
 private[graft] object PlanUtil {
 
-  /** Materialize (eager local checkpoint) + cut lineage AND statistics. */
+  /** Local checkpoint blocks die with their executor — acceptable on the
+    * single-JVM driver contract, but a lost block is unrecomputable. When
+    * the session has a RELIABLE checkpoint dir configured
+    * (`sc.setCheckpointDir`, the standard Spark knob), use reliable
+    * checkpointing instead so materialized stages survive executor loss. */
+  private def checkpointed[T](ds: Dataset[T]): Dataset[T] =
+    if (ds.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      ds.checkpoint()
+    else ds.localCheckpoint()
+
+  /** Materialize (eager checkpoint) + cut lineage AND statistics. */
   def cut[T](ds: Dataset[T]): Dataset[T] = {
-    val cp = ds.localCheckpoint()
+    val cp = checkpointed(ds)
     cp.sparkSession.createDataset(cp.rdd)(ds.encoder)
   }
 
   /** DataFrame variant (Row encoder via createDataFrame). */
   def cutDF(df: DataFrame): DataFrame = {
-    val cp = df.localCheckpoint()
+    val cp = checkpointed(df)
     cp.sparkSession.createDataFrame(cp.rdd, df.schema)
   }
 }

@@ -51,7 +51,11 @@ object QueriesDedup {
   // pandas hash canonicalizer cannot sort array cells, so the per-function
   // minhash values are emitted one row each.
   private def minhashSigQuery(s: SparkSession, dir: String): DataFrame =
-    NearDup.signatures(docs(s, dir))
+    // materialize signatures BEFORE exploding: with a single reference the
+    // optimizer inlines the whole signature expression into the Generate,
+    // whose evaluation path is ~10× slower than the codegen'd projection
+    graft.ops.graph.PlanUtil.cutDF(
+        NearDup.signatures(docs(s, dir)).select("doc_id", "sig"))
       .select(col("doc_id"), posexplode(col("sig")).as(Seq("hash_idx", "minhash")))
       .orderBy("doc_id", "hash_idx")
 

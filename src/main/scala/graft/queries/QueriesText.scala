@@ -110,8 +110,10 @@ object QueriesText {
     * pipeline) over consecutive-id pairs — the direct operator surface. */
   private def ngramJaccardQuery(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.NearDup
-    val sh = docs(s, dir).select(col("doc_id"),
-      NearDup.shingleHashes(col("text")).as("shingles"))
+    val sh = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("_toks"))
+      .select(col("doc_id"),
+        NearDup.shingleHashesFromTokens(col("_toks")).as("shingles"))
     val pairs = sh.select(col("doc_id").as("id_a"))
       .join(sh.select((col("doc_id") - 1).as("id_a")), "id_a")
       .select(col("id_a"), (col("id_a") + 1).as("id_b"))

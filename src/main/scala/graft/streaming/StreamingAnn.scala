@@ -74,10 +74,15 @@ object StreamingAnn {
              params: SearchParams): DataFrame = {
     implicit val s: SparkSession = spark
     val vecs = spark.read.parquet(s"$dir/vectors")
+    // only "no index published yet" (path missing before the first
+    // rebuild) maps to None; real read failures must surface, not silently
+    // degrade every search to a full brute-force scan
     val watermark: Option[Long] =
       try Some(spark.read.parquet(s"$dir/index_watermark")
         .head().getLong(0))
-      catch { case _: Throwable => None }
+      catch { case e: org.apache.spark.sql.AnalysisException
+        if e.getMessage.contains("PATH_NOT_FOUND") ||
+           e.getMessage.contains("Path does not exist") => None }
 
     val indexed: Option[DataFrame] = watermark.map { w =>
       val iv = vecs.filter(col("batch_id") <= w).select("id", "vec")
