@@ -210,6 +210,21 @@ object QueriesAnn {
   // earlier 8×64 layout quantized 8-d cells with 6-bit codebooks — coarse
   // cells were the recall floor (0.47), not the code count
   private val PqIters = 2
+  // train codebooks on a bounded deterministic sample (the PqTrainCap
+  // smallest ids) — standard PQ practice (FAISS trains on a subsample);
+  // training cost stays constant as the corpus grows while encoding still
+  // covers every vector. At sf0.01 the cap exceeds the corpus, so the
+  // sample IS the corpus.
+  private val PqTrainCap = 2048
+
+  /** Deterministic bounded training set: the PqTrainCap smallest ids,
+    * materialized and re-spread — a bare orderBy+limit would feed the
+    * whole trainer from ONE partition (GlobalLimit coalesces), serializing
+    * every k-means job. */
+  private def pqTrainSet(s: SparkSession, dir: String): DataFrame =
+    graft.ops.graph.PlanUtil.cutDF(
+      bSide(s, dir).orderBy("id").limit(PqTrainCap))
+      .repartition(col("id"))
 
   /** Recall of exact kNN over PQ-reconstructed base vectors (≡ asymmetric
     * distance computation) vs exact kNN — at 16× compression (16 code
@@ -219,7 +234,7 @@ object QueriesAnn {
   private def pqRecallQuery(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Quantize
     val b = bSide(s, dir)
-    val cb = Quantize.pqTrain(b, PqM, PqK, PqIters)
+    val cb = Quantize.pqTrain(pqTrainSet(s, dir), PqM, PqK, PqIters)
     val codes = Quantize.pqEncode(b, cb, PqM)
     val rec = Quantize.pqReconstruct(codes, cb)
     val approx = KnnJoin(qSide(s, dir), rec, K, Metric.L2)
@@ -242,14 +257,16 @@ object QueriesAnn {
     val sub = PqDim / PqM
     val ctes = scala.collection.mutable.ArrayBuffer(
       "b AS (SELECT vec_id AS bid, embedding AS be FROM embeddings WHERE vec_id >= 20)",
+      s"btrain AS (SELECT bid, be FROM b ORDER BY bid LIMIT $PqTrainCap)",
       "q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20)")
     (0 until PqM).foreach { s =>
       val (lo, hi) = (s * sub + 1, (s + 1) * sub)
       ctes += s"bs$s AS (SELECT bid, be[$lo:$hi] AS sv FROM b)"
-      ctes += s"c${s}_0 AS (SELECT CAST(row_number() OVER (ORDER BY bid) - 1 AS INT) AS cid, sv AS ce FROM (SELECT bid, sv FROM bs$s ORDER BY bid LIMIT $PqK))"
+      ctes += s"ts$s AS (SELECT bid, be[$lo:$hi] AS sv FROM btrain)"
+      ctes += s"c${s}_0 AS (SELECT CAST(row_number() OVER (ORDER BY bid) - 1 AS INT) AS cid, sv AS ce FROM (SELECT bid, sv FROM ts$s ORDER BY bid LIMIT $PqK))"
       (1 to PqIters).foreach { i =>
         val d = pqL2("sv", "ce")
-        ctes += s"a${s}_$i AS (SELECT bid, sv, cid, row_number() OVER (PARTITION BY bid ORDER BY $d, cid) AS rnk FROM bs$s, c${s}_${i - 1} QUALIFY rnk = 1)"
+        ctes += s"a${s}_$i AS (SELECT bid, sv, cid, row_number() OVER (PARTITION BY bid ORDER BY $d, cid) AS rnk FROM ts$s, c${s}_${i - 1} QUALIFY rnk = 1)"
         ctes += s"e${s}_$i AS (SELECT cid, generate_subscripts(sv, 1) AS pos, CAST(unnest(sv) AS DOUBLE) AS x FROM a${s}_$i)"
         ctes += s"m${s}_$i AS (SELECT cid, pos, CAST(avg(x) AS FLOAT) AS mf FROM e${s}_$i GROUP BY cid, pos)"
         ctes += s"u${s}_$i AS (SELECT cid, list(mf ORDER BY pos) AS ce FROM m${s}_$i GROUP BY cid)"
@@ -286,7 +303,7 @@ object QueriesAnn {
   private def pqAdcQuery(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Quantize
     val b = bSide(s, dir)
-    val cb = Quantize.pqTrain(b, PqM, PqK, PqIters)
+    val cb = Quantize.pqTrain(pqTrainSet(s, dir), PqM, PqK, PqIters)
     val codes = Quantize.pqEncode(b, cb, PqM)
     KnnJoin.explodeRanks(Quantize.adcTopK(qSide(s, dir), codes, cb, K))
       .select(col("query_id"), col("rank"), col("base_id"),
