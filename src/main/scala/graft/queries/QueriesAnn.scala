@@ -314,17 +314,21 @@ object QueriesAnn {
   private val pqAdcOracle = {
     val sub = PqDim / PqM
     val ctes = pqCommonCtes
-    val joins = (1 until PqM).map(s => s"JOIN code$s USING (bid)").mkString(" ")
-    ctes += s"allcodes AS (SELECT code0.bid AS bid, ${(0 until PqM).map(s => s"code$s.code AS k$s").mkString(", ")} FROM code0 $joins)"
-    ctes += s"codesu AS (${(0 until PqM).map(s => s"SELECT bid, $s AS sub, k$s AS code FROM allcodes").mkString(" UNION ALL ")})"
-    ctes += s"cbs AS (${(0 until PqM).map(s => s"SELECT $s AS sub, cid, ce FROM c${s}_$PqIters").mkString(" UNION ALL ")})"
-    ctes += s"qsl AS (${(0 until PqM).map { s =>
+    // one wide row per bid carrying all m codebook entries, then a single
+    // (qid × bid) scan with the m per-subspace l2 terms summed inline,
+    // left-associated in subspace order — the same association as the
+    // engine's lookup-table fold, and no m× intermediate materialization
+    // (an exploded per-(qid,bid,subspace) terms table OOMs DuckDB at sf0.1)
+    val codeJoins = (1 until PqM).map(s => s"JOIN code$s USING (bid)").mkString(" ")
+    ctes += s"allcodes AS (SELECT code0.bid AS bid, ${(0 until PqM).map(s => s"code$s.code AS k$s").mkString(", ")} FROM code0 $codeJoins)"
+    val cbJoins = (0 until PqM)
+      .map(s => s"JOIN c${s}_$PqIters cb$s ON cb$s.cid = k$s").mkString(" ")
+    ctes += s"wide AS (SELECT bid, ${(0 until PqM).map(s => s"cb$s.ce AS ce$s").mkString(", ")} FROM allcodes $cbJoins)"
+    val distExpr = (0 until PqM).map { s =>
       val (lo, hi) = (s * sub + 1, (s + 1) * sub)
-      s"SELECT qid, $s AS sub, qe[$lo:$hi] AS qs FROM q"
-    }.mkString(" UNION ALL ")})"
-    val l2t = pqL2("qs", "ce")
-    ctes += s"terms AS (SELECT qsl.qid, codesu.bid, codesu.sub, $l2t AS t FROM codesu JOIN cbs ON cbs.sub = codesu.sub AND cbs.cid = codesu.code JOIN qsl ON qsl.sub = codesu.sub)"
-    ctes += "adc AS (SELECT qid, bid, list_sum(list(t ORDER BY sub)) AS dist FROM terms GROUP BY qid, bid)"
+      pqL2(s"qe[$lo:$hi]", s"ce$s")
+    }.mkString("(", " + ", ")")
+    ctes += s"adc AS (SELECT qid, bid, $distExpr AS dist FROM q, wide)"
     ctes += s"r AS (SELECT qid, bid, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, bid) AS rnk FROM adc QUALIFY rnk <= $K)"
     s"""WITH ${ctes.mkString(",\n")}
        |SELECT qid AS query_id, CAST(rnk AS INT) AS rank, bid AS base_id,
