@@ -88,6 +88,39 @@ object KnnJoin {
         -s
     }
 
+  /** Shared lazy-block top-k drain (used by this join and
+    * [[graft.ops.Quantize.adcTopK]]): stream query blocks through the
+    * driver one at a time (`toLocalIterator` runs one job per partition
+    * lazily — the driver never holds the whole query side), broadcast one
+    * block, materialize its partial top-k eagerly (PlanUtil.cutDF: only
+    * partitions×k rows per query persist; reliable checkpoint when the
+    * session has a checkpoint dir, local otherwise) so the block's
+    * broadcast can be destroyed before the next block is drained — no
+    * accumulation of broadcasts or query bytes across the job's lifetime —
+    * then merge the partials into the final per-query top-k.
+    *
+    * `partial(bc)` must return a [query_id: long,
+    * partial: array<struct<_1: double, _2: long>>] DataFrame of per-block
+    * per-partition partial top-k rows. */
+  private[graft] def blockedTopK[Q](spark: org.apache.spark.sql.SparkSession,
+      qIt: Iterator[Q], blockRows: Int, k: Int, emptyMsg: String)(
+      partial: org.apache.spark.broadcast.Broadcast[Array[Q]] => DataFrame)(
+      implicit ct: scala.reflect.ClassTag[Q]): DataFrame = {
+    require(qIt.hasNext, emptyMsg)
+    val partialBlocks = qIt.grouped(blockRows).map { blk =>
+      val bc = spark.sparkContext.broadcast(blk.toArray)
+      val cut = graft.ops.graph.PlanUtil.cutDF(partial(bc))
+      bc.destroy()
+      cut
+    }.toList
+    partialBlocks.reduce(_ union _)
+      .groupBy("query_id")
+      .agg(slice(sort_array(flatten(collect_list(col("partial")))), 1, k).as("knn0"))
+      .select(col("query_id"),
+        transform(col("knn0"),
+          x => struct(x("_1").as("dist"), x("_2").as("id"))).as("knn"))
+  }
+
   /** Exact kNN join. Inputs must expose (`id`: long, `vec`: array<float>).
     * Returns [query_id: long, knn: array<struct<dist: double, id: long>>],
     * `knn` sorted by (dist, id) ascending, length <= k.
@@ -102,25 +135,14 @@ object KnnJoin {
 
     val baseDs: Dataset[(Long, Array[Float])] =
       base.select(col("id").cast("long"), col("vec")).as[(Long, Array[Float])]
-    // stream query blocks through the driver one at a time (toLocalIterator
-    // runs one job per partition lazily) — the driver never holds the whole
-    // query side, and each block's bytes live in spillable broadcast storage
     import scala.jdk.CollectionConverters._
+    val norm = metric.needNormalize
     val qIt = queries.select(col("id").cast("long"), col("vec"))
       .as[(Long, Array[Float])].toLocalIterator().asScala
-    require(qIt.hasNext, "kNN join: empty query set")
+      .map { case (id, v) => (id, widen(v, norm)) }
 
-    val norm = metric.needNormalize
-    // one block at a time: the lazy grouped iterator means the driver holds
-    // at most `queryBlockRows` query vectors at any moment; each block's
-    // partial top-k is materialized eagerly (localCheckpoint) so the block's
-    // broadcast can be destroyed before the next block is drained — no
-    // accumulation of broadcasts (or query bytes) across the job's lifetime
-    val partialBlocks = qIt.grouped(queryBlockRows).map { blk =>
-      val qWide: Array[(Long, Array[Double])] =
-        blk.iterator.map { case (id, v) => (id, widen(v, norm)) }.toArray
-      val bc = spark.sparkContext.broadcast(qWide)
-      val partial = baseDs.mapPartitions { it =>
+    blockedTopK(spark, qIt, queryBlockRows, k, "kNN join: empty query set") { bc =>
+      baseDs.mapPartitions { it =>
         val qs = bc.value
         val heaps = Array.fill(qs.length)(new BoundedTopK(k))
         it.foreach { case (bid, bvec) =>
@@ -135,20 +157,8 @@ object KnnJoin {
           val r = heaps(qi).result()
           if (r.isEmpty) None else Some((qs(qi)._1, r))
         }
-      }
-      // eager materialization (only partitions×k rows per query persist):
-      // reliable checkpoint when the session has a checkpoint dir (survives
-      // executor loss), local otherwise — then the block's broadcast can go
-      val cut = graft.ops.graph.PlanUtil.cutDF(partial.toDF("query_id", "partial"))
-      bc.destroy()
-      cut
-    }.toList
-    val partials = partialBlocks.reduce(_ union _)
-    partials.groupBy("query_id")
-      .agg(slice(sort_array(flatten(collect_list(col("partial")))), 1, k).as("knn0"))
-      .select(col("query_id"),
-        transform(col("knn0"),
-          x => struct(x("_1").as("dist"), x("_2").as("id"))).as("knn"))
+      }.toDF("query_id", "partial")
+    }
   }
 
   /** Reference implementation via crossJoin + window — the oracle-shaped

@@ -69,11 +69,12 @@ object Quantize {
 
     val seedIds = vectors.select(col("id").cast("long")).orderBy("id")
       .limit(k).as[Long].collect()
+    val seedIdx: Map[Long, Int] = seedIds.zipWithIndex.toMap
     var cents: Map[(Int, Int), Array[Float]] = sv
       .filter(col("id").isin(seedIds: _*))
       .select(col("subspace"), col("id"), col("vec"))
       .as[(Int, Long, Array[Float])].collect()
-      .map { case (s, id, v) => ((s, seedIds.indexOf(id)), v) }.toMap
+      .map { case (s, id, v) => ((s, seedIdx(id)), v) }.toMap
 
     var it = 0
     while (it < iters) {
@@ -169,12 +170,13 @@ object Quantize {
     import scala.jdk.CollectionConverters._
     val qIt = queries.select(col("id").cast("long"), col("vec"))
       .as[(Long, Array[Float])].toLocalIterator().asScala
-    require(qIt.hasNext, "ADC top-k: empty query set")
 
-    val partialBlocks = qIt.grouped(queryBlockRows).map { blk =>
-      val qArr = blk.toArray
-      val bc = spark.sparkContext.broadcast(qArr)
-      val partial = codesDs.mapPartitions { it =>
+    // the shared lazy-block drain (KnnJoin.blockedTopK) materializes each
+    // block's partials eagerly, so by the time it returns every task that
+    // read bcCb has run — the codebook broadcast can then be destroyed too
+    val out = KnnJoin.blockedTopK(spark, qIt, queryBlockRows, k,
+      "ADC top-k: empty query set") { bc =>
+      codesDs.mapPartitions { it =>
         val qs = bc.value
         val books = bcCb.value
         val mm = books.length
@@ -208,18 +210,10 @@ object Quantize {
           val r = heaps(qi).result()
           if (r.isEmpty) None else Some((qs(qi)._1, r))
         }
-      }
-      val cut = graft.ops.graph.PlanUtil.cutDF(partial.toDF("query_id", "partial"))
-      bc.destroy()
-      cut
-    }.toList
-    partialBlocks.reduce(_ union _)
-      .groupBy("query_id")
-      .agg(slice(sort_array(flatten(collect_list(col("partial")))), 1, k)
-        .as("knn0"))
-      .select(col("query_id"),
-        transform(col("knn0"),
-          x => struct(x("_1").as("dist"), x("_2").as("id"))).as("knn"))
+      }.toDF("query_id", "partial")
+    }
+    bcCb.destroy()
+    out
   }
 
   /** Reconstruct full vectors from PQ codes (the table form of asymmetric

@@ -137,63 +137,106 @@ object FbinCodec {
 
   /** Write [id, vec: array<float>] as `.fbin`, rows ordered by id.
     * Driver-side stream (a compat fixture tool, not the primary sink —
-    * the single-file format is inherently unsplittable on write). */
-  def writeFbin(df: DataFrame, path: String): Unit =
+    * the single-file format is inherently unsplittable on write). Rows
+    * stream through the driver in bounded chunks (`toLocalIterator` +
+    * per-chunk buffers), so a reference-scale file (10M×200d ≈ 8 GB,
+    * prepare_data.sh:22-28) writes without ever sizing a buffer from the
+    * total row count — all whole-file sizes stay in Long arithmetic. */
+  def writeFbin(df: DataFrame, path: String, chunkRows: Int = 8192): Unit =
     writeBinary(df, path, (bb, row) =>
-      row.getSeq[Float](1).foreach(bb.putFloat))
+      row.getSeq[Float](1).foreach(bb.putFloat), chunkRows)
 
   /** Write [id, vec: array<int>] as `.ibin`. */
-  def writeIbin(df: DataFrame, path: String): Unit =
+  def writeIbin(df: DataFrame, path: String, chunkRows: Int = 8192): Unit =
     writeBinary(df, path, (bb, row) =>
-      row.getSeq[Int](1).foreach(bb.putInt))
+      row.getSeq[Int](1).foreach(bb.putInt), chunkRows)
+
+  /** The `uint32 npts, uint32 dim` header; rejects anything the format
+    * (or a signed-Int reader) cannot represent. */
+  private def headerBytes(npts: Long, dim: Int, what: String): Array[Byte] = {
+    require(npts > 0, s"$what: empty input")
+    require(npts <= Int.MaxValue,
+      s"$what: npts=$npts exceeds the format's uint32 header (readers use signed Int)")
+    require(dim > 0, s"$what: dim must be positive, got $dim")
+    val bb = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(npts.toInt).putInt(dim)
+    bb.array()
+  }
 
   /** Write [id, ids: array<int>, dists: array<float>] as a
     * gt-with-dists `.ibin` (ids block then parallel float32 dists block),
-    * rows ordered by id — the positional query index on read-back. */
-  def writeGtWithDist(df: DataFrame, path: String): Unit = {
-    val rows = df.select("id", "ids", "dists").orderBy("id").collect()
-    require(rows.nonEmpty, "writeGtWithDist: empty input")
-    val k = rows.head.getSeq[Int](1).length
+    * rows ordered by id — the positional query index on read-back. Two
+    * streamed passes over the sorted rows (the blocks are physically
+    * disjoint), chunked like [[writeFbin]]. */
+  def writeGtWithDist(df: DataFrame, path: String, chunkRows: Int = 8192): Unit = {
+    import scala.jdk.CollectionConverters._
     val spark = df.sparkSession
+    val sorted = df.select("id", "ids", "dists").orderBy("id")
+    val npts = sorted.count()
+    require(npts > 0, "writeGtWithDist: empty input")
+    val k = sorted.head().getSeq[Int](1).length
+    require(chunkRows > 0 && chunkRows.toLong * k * 4 <= Int.MaxValue,
+      s"writeGtWithDist: chunkRows=$chunkRows x k=$k chunk buffer exceeds Int range")
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try {
-      val bb = java.nio.ByteBuffer.allocate(8 + rows.length * k * 8)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      bb.putInt(rows.length).putInt(k)
-      rows.foreach { r =>
-        val ids = r.getSeq[Int](1)
-        require(ids.length == k, "ragged id rows")
-        ids.foreach(bb.putInt)
+      out.write(headerBytes(npts, k, "writeGtWithDist"))
+      var seen = 0L
+      sorted.toLocalIterator().asScala.grouped(chunkRows).foreach { chunk =>
+        val bb = java.nio.ByteBuffer.allocate(chunk.length * k * 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        chunk.foreach { r =>
+          val ids = r.getSeq[Int](1)
+          require(ids.length == k, "ragged id rows")
+          ids.foreach(bb.putInt)
+          seen += 1
+        }
+        out.write(bb.array(), 0, bb.position())
       }
-      rows.foreach { r =>
-        val ds = r.getSeq[Float](2)
-        require(ds.length == k, "ragged dist rows")
-        ds.foreach(bb.putFloat)
+      require(seen == npts, s"writeGtWithDist: row count changed mid-write ($seen != $npts)")
+      sorted.toLocalIterator().asScala.grouped(chunkRows).foreach { chunk =>
+        val bb = java.nio.ByteBuffer.allocate(chunk.length * k * 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        chunk.foreach { r =>
+          val ds = r.getSeq[Float](2)
+          require(ds.length == k, "ragged dist rows")
+          ds.foreach(bb.putFloat)
+        }
+        out.write(bb.array(), 0, bb.position())
       }
-      out.write(bb.array())
     } finally out.close()
   }
 
   private def writeBinary(df: DataFrame, path: String,
-                          put: (java.nio.ByteBuffer, org.apache.spark.sql.Row) => Unit): Unit = {
-    val rows = df.orderBy("id").collect()
-    require(rows.nonEmpty, "writeFbin/writeIbin: empty input")
-    val dim = rows.head.getSeq[Any](1).length
+                          put: (java.nio.ByteBuffer, org.apache.spark.sql.Row) => Unit,
+                          chunkRows: Int): Unit = {
+    import scala.jdk.CollectionConverters._
     val spark = df.sparkSession
+    val sorted = df.orderBy("id")
+    val npts = sorted.count()
+    require(npts > 0, "writeFbin/writeIbin: empty input")
+    val dim = sorted.head().getSeq[Any](1).length
+    require(chunkRows > 0 && chunkRows.toLong * dim * 4 <= Int.MaxValue,
+      s"writeFbin/writeIbin: chunkRows=$chunkRows x dim=$dim chunk buffer exceeds Int range")
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try {
-      val bb = java.nio.ByteBuffer.allocate(8 + rows.length * dim * 4)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      bb.putInt(rows.length).putInt(dim)
-      rows.foreach { r =>
-        require(r.getSeq[Any](1).length == dim, "ragged rows")
-        put(bb, r)
+      out.write(headerBytes(npts, dim, "writeFbin/writeIbin"))
+      var seen = 0L
+      sorted.toLocalIterator().asScala.grouped(chunkRows).foreach { chunk =>
+        val bb = java.nio.ByteBuffer.allocate(chunk.length * dim * 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        chunk.foreach { r =>
+          require(r.getSeq[Any](1).length == dim, "ragged rows")
+          put(bb, r)
+          seen += 1
+        }
+        out.write(bb.array(), 0, bb.position())
       }
-      out.write(bb.array())
+      require(seen == npts, s"writeFbin/writeIbin: row count changed mid-write ($seen != $npts)")
     } finally out.close()
   }
 }

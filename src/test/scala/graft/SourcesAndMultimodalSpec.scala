@@ -39,6 +39,43 @@ class SourcesAndMultimodalSpec extends SparkSpec {
     assert(back.select(size(col("vec"))).distinct().collect().map(_.getInt(0)).toSeq == Seq(64))
   }
 
+  test("chunked writers are exact across chunk boundaries (and size in Long)") {
+    // the writers stream row-chunks (no whole-file buffer, so no Int
+    // overflow at >2 GiB); property: round-trip is exact for row counts
+    // straddling every chunk-boundary case, at a tiny chunk size
+    import spark.implicits._
+    val chunk = 4
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunk").toString
+    for (n <- Seq(1, chunk - 1, chunk, chunk + 1, 2 * chunk, 3 * chunk + 1)) {
+      val rows = (0 until n).map(i =>
+        (i.toLong, Array.tabulate(3)(j => (i * 10 + j).toFloat)))
+      val df = rows.toDF("id", "vec")
+      FbinCodec.writeFbin(df, s"$dir/c$n.fbin", chunkRows = chunk)
+      assert(new java.io.File(s"$dir/c$n.fbin").length() == 8L + n.toLong * 3 * 4)
+      val back = FbinCodec.readFbin(spark, s"$dir/c$n.fbin")
+        .orderBy("id").collect().map(_.getSeq[Float](1).toSeq)
+      assert(back.toSeq == rows.map(_._2.toSeq), s"fbin mismatch at n=$n")
+
+      val gt = (0 until n).map(i =>
+        (i.toLong, Array(i, i + 1, i + 2), Array(i * 0.5f, i * 0.25f, i * 2f)))
+        .toDF("id", "ids", "dists")
+      FbinCodec.writeGtWithDist(gt, s"$dir/g$n.ibin", chunkRows = chunk)
+      assert(new java.io.File(s"$dir/g$n.ibin").length() == 8L + n.toLong * 3 * 4 * 2)
+      val gtBack = FbinCodec.readGtWithDist(spark, s"$dir/g$n.ibin")
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](1).toSeq, r.getSeq[Float](2).toSeq))
+      assert(gtBack.toSeq == (0 until n).map(i =>
+        (i.toLong, Seq(i, i + 1, i + 2), Seq(i * 0.5f, i * 0.25f, i * 2f))),
+        s"gt-ibin mismatch at n=$n")
+    }
+    // oversized chunk buffers are rejected up front with a clear message
+    val one = Seq((0L, Array(1f, 2f, 3f))).toDF("id", "vec")
+    val err = intercept[IllegalArgumentException] {
+      FbinCodec.writeFbin(one, s"$dir/bad.fbin", chunkRows = Int.MaxValue)
+    }
+    assert(err.getMessage.contains("exceeds Int range"))
+  }
+
   test("gt-with-dists ibin round-trip preserves ids and float32 dists exactly") {
     import spark.implicits._
     val gt = Seq(
