@@ -26,11 +26,38 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * At scale the tail is bounded by `rebuildEvery × batch size`, so the
   * brute-force term stays a small constant beside the indexed corpus.
   * Rebuilds happen inside foreachBatch — Structured Streaming's unit of
-  * exactly-once batch side effects (a production deployment would publish
-  * the index dir via atomic rename; the data layout is already
-  * snapshot-shaped).
+  * exactly-once batch side effects.
+  *
+  * Index publication is atomic: each rebuild stages a complete immutable
+  * snapshot (adjacency + meta + watermark) under `index_versions/v<batch>`
+  * and then swaps a single `_latest` pointer file via rename-with-overwrite
+  * (atomic on POSIX and HDFS). A concurrent search resolves the pointer
+  * once and reads only that immutable snapshot — it can never observe a
+  * half-written index. The previous snapshot is retained one generation
+  * for readers that resolved the pointer just before a swap; older ones
+  * are pruned.
   */
 object StreamingAnn {
+
+  private def hadoopFs(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Resolve the currently published snapshot dir, if any. */
+  private def latestVersion(spark: SparkSession, dir: String): Option[String] = {
+    val (fs, _) = hadoopFs(spark, dir)
+    val ptr = new org.apache.hadoop.fs.Path(s"$dir/_latest")
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      try {
+        val b = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, b, 4096, false)
+        Some(new String(b.toByteArray, java.nio.charset.StandardCharsets.UTF_8).trim)
+      } finally in.close()
+    }
+  }
 
   /** Start ingesting a stream of (id, vec) rows into `dir`. */
   def ingest(vectors: DataFrame, dir: String, params: BuildParams,
@@ -51,7 +78,8 @@ object StreamingAnn {
   }
 
   /** Rebuild the index over every batch ≤ `upToBatch` and publish it with
-    * its coverage watermark. Sampled queries = the vectors themselves
+    * its coverage watermark — atomically (stage → rename into versions →
+    * pointer swap). Sampled queries = the vectors themselves
     * (self-training, the |queries| ≈ |base| regime the bipartite path
     * uses; a deployment with a real query log passes it here instead). */
   def rebuild(spark: SparkSession, dir: String, params: BuildParams,
@@ -61,10 +89,42 @@ object StreamingAnn {
       .select(col("id"), col("vec"))
     val di = DistRoarGraphBuilder.build(vecs, vecs, params)
     implicit val s: SparkSession = spark
-    GraphIO.saveDist(di, s"$dir/index")
     import spark.implicits._
+    val version = s"v$upToBatch"
+    val stage = s"$dir/index_staging/$version"
+    GraphIO.saveDist(di, stage)
     Seq(upToBatch).toDF("indexed_up_to")
-      .write.mode("overwrite").parquet(s"$dir/index_watermark")
+      .write.mode("overwrite").parquet(s"$stage/watermark")
+
+    // publish: move the COMPLETE staged snapshot into versions/ (invisible
+    // to readers until the pointer names it), then swap the pointer file
+    // via rename-with-overwrite — the single atomic step readers observe
+    val (fs, _) = hadoopFs(spark, dir)
+    val versionsDir = new org.apache.hadoop.fs.Path(s"$dir/index_versions")
+    fs.mkdirs(versionsDir)
+    val dst = new org.apache.hadoop.fs.Path(s"$dir/index_versions/$version")
+    if (fs.exists(dst)) fs.delete(dst, true) // idempotent batch replay
+    require(fs.rename(new org.apache.hadoop.fs.Path(stage), dst),
+      s"publish: staging rename failed for $version")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/_latest.tmp")
+    val outS = fs.create(tmp, true)
+    try outS.write(version.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally outS.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri, conf)
+      .rename(tmp, new org.apache.hadoop.fs.Path(s"$dir/_latest"),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+
+    // prune all but the current and previous snapshots (a reader that
+    // resolved the pointer just before the swap may still be on n-1)
+    val keep = Set(version, s"v${upToBatch - 1}")
+    fs.listStatus(versionsDir).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("v") && !keep.contains(name) &&
+          name.drop(1).forall(_.isDigit) &&
+          name.drop(1).toLong < upToBatch)
+        fs.delete(st.getPath, true)
+    }
   }
 
   /** Search the ingested corpus: indexed portion via beam search, the
@@ -74,19 +134,18 @@ object StreamingAnn {
              params: SearchParams): DataFrame = {
     implicit val s: SparkSession = spark
     val vecs = spark.read.parquet(s"$dir/vectors")
-    // only "no index published yet" (path missing before the first
-    // rebuild) maps to None; real read failures must surface, not silently
-    // degrade every search to a full brute-force scan
+    // resolve the published snapshot ONCE; everything below reads only
+    // that immutable version dir, so a concurrent rebuild (which swaps
+    // the pointer, never mutates a published snapshot) cannot tear a read.
+    // None = no index published yet (pointer absent before first rebuild).
+    val snapshot: Option[String] =
+      latestVersion(spark, dir).map(v => s"$dir/index_versions/$v")
     val watermark: Option[Long] =
-      try Some(spark.read.parquet(s"$dir/index_watermark")
-        .head().getLong(0))
-      catch { case e: org.apache.spark.sql.AnalysisException
-        if e.getMessage.contains("PATH_NOT_FOUND") ||
-           e.getMessage.contains("Path does not exist") => None }
+      snapshot.map(sd => spark.read.parquet(s"$sd/watermark").head().getLong(0))
 
     val indexed: Option[DataFrame] = watermark.map { w =>
       val iv = vecs.filter(col("batch_id") <= w).select("id", "vec")
-      val idx = GraphSearch.indexFromDist(GraphIO.loadDist(s"$dir/index"), iv)
+      val idx = GraphSearch.indexFromDist(GraphIO.loadDist(snapshot.get), iv)
       graft.build.RoarGraphBuilder.searchBatch(idx, queries, params)
         .select(col("query_id"),
           arrays_zip(col("dists"), col("ids")).as("hits"))

@@ -33,7 +33,11 @@ class StreamingAnnSpec extends SparkSpec {
     q.stop()
 
     // the rebuild covered batches 0-1; batch 2 is the un-indexed tail
-    assert(spark.read.parquet(s"$dir/index_watermark").head().getLong(0) == 1L)
+    // (published as an immutable versioned snapshot + pointer file)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/_latest"))).trim == "v1")
+    assert(spark.read.parquet(s"$dir/index_versions/v1/watermark")
+      .head().getLong(0) == 1L)
 
     val queries = emb.filter(col("id") < 50).select("id", "vec")
     val res = StreamingAnn.search(spark, dir, queries,
@@ -53,5 +57,47 @@ class StreamingAnnSpec extends SparkSpec {
       SearchParams(10, 100, Metric.L2))
       .select(col("ids")(0)).head().getLong(0)
     assert(probeTop == 420L, s"tail vector not found first: $probeTop")
+  }
+
+  test("searches concurrent with rebuilds never observe a torn index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-atomic").toString
+    val emb = Tables.vectors(spark, sf0001)
+    // lay down three ingested batches directly (the ingest layout)
+    for (b <- 0 to 2)
+      emb.filter(col("id") >= 100 + 100 * b && col("id") < 200 + 100 * b)
+        .select(col("id").cast("long"), col("vec"))
+        .withColumn("batch_id", lit(b.toLong))
+        .write.mode("append").parquet(s"$dir/vectors")
+    val params = BuildParams(mSq = 40, mPjbp = 12, lPjpq = 60, metric = Metric.L2)
+    StreamingAnn.rebuild(spark, dir, params, upToBatch = 0)
+
+    val queries = emb.filter(col("id") < 10).select("id", "vec").cache()
+    val nQ = queries.count()
+    @volatile var rebuildErr: Option[Throwable] = None
+    val rebuilder = new Thread(() => {
+      try for (b <- 1 to 2) StreamingAnn.rebuild(spark, dir, params, b)
+      catch { case t: Throwable => rebuildErr = Some(t) }
+    })
+    rebuilder.start()
+    // hammer searches while snapshots are being published underneath; a
+    // torn read (pointer naming a half-written snapshot, or a snapshot
+    // deleted mid-read) would throw or drop queries
+    var n = 0
+    while ((rebuilder.isAlive && n < 50) || n == 0) {
+      val res = StreamingAnn.search(spark, dir, queries,
+        core.SearchParams(5, 60, Metric.L2, numSeeds = 4))
+      assert(res.count() == nQ, s"search $n dropped queries")
+      n += 1
+    }
+    rebuilder.join()
+    assert(rebuildErr.isEmpty, s"concurrent rebuild failed: $rebuildErr")
+    assert(n >= 1)
+    queries.unpersist()
+
+    // final state: pointer names v2, snapshots pruned to the last two
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/_latest"))).trim == "v2")
+    val versions = new java.io.File(s"$dir/index_versions").list().toSet
+    assert(versions == Set("v1", "v2"), s"unexpected snapshots: $versions")
   }
 }
