@@ -59,10 +59,16 @@ object DistRoarGraphBuilder {
   /** Build. `base`/`queries` expose (id, vec: array<float>);
     * `precomputedKnn`, if given, is [query_id, knn: array<long>] of
     * EXTERNAL base ids sorted by distance (the S5 LoadLearnBaseKNN input).
-    * `frontierWidth`/`maxRounds` drive the phase-2 BSP self-search. */
+    * `frontierWidth`/`maxRounds` drive the phase-2 BSP self-search.
+    * `selfSearchSeeds` (>0) seeds phase 2 with that many shared extra
+    * entry nodes (BspBeamSearch.pickSeeds — a bounded id list, the same
+    * driver-scalar class as the entry point): on clustered corpora whose
+    * sparse phase-1 projection strands single-ep beams, seed diversity is
+    * what lets every node's self-search actually reach its neighborhood. */
   def build(base: DataFrame, queries: DataFrame, params: BuildParams,
             precomputedKnn: Option[DataFrame] = None,
-            frontierWidth: Int = 8, maxRounds: Int = 64): DistIndex = {
+            frontierWidth: Int = 8, maxRounds: Int = 64,
+            selfSearchSeeds: Int = 0): DistIndex = {
     val spark = base.sparkSession
     import spark.implicits._
     val m = params.mPjbp
@@ -136,9 +142,13 @@ object DistRoarGraphBuilder {
 
     // ---- phase 2 (G6, :1183-1276): BSP self-search over the frozen
     // phase-1 snapshot; pool prune (G9: strict pass, no backfill) ----
+    val p2Seeds =
+      if (selfSearchSeeds > 0) BspBeamSearch.pickSeeds(projection, selfSearchSeeds)
+      else Nil
     val selfSearch = BspBeamSearch.search(
       projection, baseN, baseN, k = params.lPjpq, l = params.lPjpq,
-      ep, scoreMetric, frontierWidth, maxRounds, excludeSelf = true)
+      ep, scoreMetric, frontierWidth, maxRounds, excludeSelf = true,
+      extraSeeds = p2Seeds)
     val supplyFwd = selfSearch
       .select(col("query_id").as("src"),
         explode(arrays_zip(col("dists"), col("ids"))).as("h"))

@@ -216,6 +216,89 @@ object Quantize {
     out
   }
 
+  // ---- OPQ-style deterministic rotation ---------------------------------
+  // Product quantization assumes subspaces carry balanced, independent
+  // energy; OPQ learns an orthogonal rotation making that true. The
+  // PCA-free deterministic variant here composes (a) a sign-flipped
+  // Hadamard transform — orthogonal, data-independent, spreads energy
+  // evenly across dimensions — with (b) a variance-balancing snake
+  // permutation computed from the training set, the greedy
+  // dimension-allocation member of the OPQ family. Both pieces are exact
+  // column expressions (left-fold association), so the full rotated
+  // pipeline stays DuckDB-oracle-checkable float-for-float.
+
+  /** Sign-flipped Hadamard rotation (dim must be a power of two whose
+    * sqrt is exact in binary, e.g. 64): y_i = (1/sqrt(dim)) * sum_j
+    * H_ij * s_j * x_j with H_ij = (-1)^popcount(i AND j) and the
+    * deterministic pre-flip s_j = (-1)^popcount((j * 2654435761) AND
+    * 0xffff). The inner sum is a left fold in j order (aggregate HOF,
+    * codegen'd), scaled once, cast to float — the exact association a
+    * SQL `list_sum(list_transform(...)) * scale` reproduces. */
+  def opqRotate(vectors: DataFrame, dim: Int): DataFrame = {
+    require((dim & (dim - 1)) == 0, s"Hadamard needs power-of-two dim, got $dim")
+    val scale = 1.0 / math.sqrt(dim.toDouble)
+    def fsign(j: Column): Column =
+      when(bit_count((j.cast("long") * lit(2654435761L))
+        .bitwiseAND(lit(65535L))) % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
+    def hsign(i: Column, j: Column): Column =
+      when(bit_count(i.bitwiseAND(j)) % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
+    val rot = transform(sequence(lit(0), lit(dim - 1)), i =>
+      (aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0),
+        (acc, j) => acc +
+          hsign(i, j) * fsign(j) * element_at(col("vec"), j + 1).cast("double"))
+        * lit(scale)).cast("float"))
+    vectors.select(col("id"), rot.as("vec"))
+  }
+
+  /** Variance-balancing snake permutation over a (rotated) training set:
+    * rank dimensions by round(sample variance, 6) descending (pos breaks
+    * ties), deal rank r to subspace `r%m` on even deals and `m-1-r%m` on
+    * odd — every subspace receives one dimension per deal, so per-subspace
+    * energy is balanced. Returns newPos -> oldPos (driver-small: dim
+    * ints, like the codebooks). Rounding makes the rank order robust to
+    * last-ulp aggregation differences between engines. */
+  def opqPermutation(train: DataFrame, dim: Int, m: Int): Array[Int] = {
+    val subDim = dim / m
+    val vars = train.select(posexplode(col("vec")).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(round(variance(col("x").cast("double")), 6).as("v"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    val ranked = vars.sortBy { case (pos, v) => (-v, pos) }.map(_._1)
+    val perm = Array.ofDim[Int](dim)
+    ranked.zipWithIndex.foreach { case (oldPos, r) =>
+      val deal = r / m
+      val s = if (deal % 2 == 0) r % m else m - 1 - (r % m)
+      perm(s * subDim + deal) = oldPos
+    }
+    perm
+  }
+
+  /** Apply a newPos -> oldPos permutation (exact reorder, no float ops). */
+  def permute(vectors: DataFrame, perm: Array[Int]): DataFrame =
+    vectors.select(col("id"),
+      array(perm.toIndexedSeq.map(p => col("vec").getItem(p)): _*).as("vec"))
+
+  /** Refine stage (the production PQ serving shape): re-rank each query's
+    * ADC candidate list with exact distances over the ORIGINAL vectors and
+    * keep the top k. At scale this touches `r` base rows per query —
+    * bounded random IO beside the byte-domain scan — and the ranking is a
+    * bounded partial/final top-k aggregation, never a window over scored
+    * rows. `cands` = adcTopK output [query_id, knn]; output
+    * [query_id, knn: array<struct<id, dist>>] sorted by (dist, id). */
+  def refineTopK(cands: DataFrame, queries: DataFrame, base: DataFrame,
+                 k: Int): DataFrame = {
+    val topK = graft.functions.TopKAggregator.topK(k)
+    cands.select(col("query_id"), explode(col("knn")("id")).as("id"))
+      .join(base.select(col("id"), col("vec")), "id")
+      .join(queries.select(col("id").cast("long").as("query_id"),
+        col("vec").as("qvec")), "query_id")
+      .select(col("query_id"), col("id").cast("long").as("id"),
+        graft.functions.VectorFunctions.l2Sq(col("vec"), col("qvec"))
+          .as("dist"))
+      .groupBy("query_id")
+      .agg(topK(col("id"), col("dist")).as("knn"))
+  }
+
   /** Reconstruct full vectors from PQ codes (the table form of asymmetric
     * distance: exact kNN over reconstructions ≡ ADC). Output (id, vec). */
   def pqReconstruct(codes: DataFrame, codebooks: DataFrame): DataFrame =

@@ -27,6 +27,19 @@ object BspBeamSearch {
   /** (dist, id, expanded) pool entry; pools stay sorted by (dist, id). */
   final case class Entry(dist: Double, id: Long, expanded: Boolean)
 
+  /** Deterministic shared entry seeds — the `s` node ids with smallest
+    * (xxhash64(id), id): uniform over the id universe regardless of
+    * layout or partitioning. The BSP analogue of the broadcast kernel's
+    * per-query random seeds (RoarGraphBuilder.seedsFor): seed DIVERSITY is
+    * what rescues navigability on clustered corpora where a single global
+    * entry point strands the beam in one region; a shared set keeps the
+    * driver-side state a bounded id list (the same scalar class as the
+    * entry point itself). */
+  def pickSeeds(nodes: DataFrame, s: Int, idCol: String = "src"): Seq[Long] =
+    nodes.select(col(idCol).cast("long").as("id"))
+      .orderBy(xxhash64(col("id")), col("id")).limit(s)
+      .collect().map(_.getLong(0)).toSeq
+
   /** @param adj      [src: long, nbrs: array<long>]
     * @param vectors  [id: long, vec: array<float>]
     * @param queries  [id: long, vec: array<float>]
@@ -35,12 +48,16 @@ object BspBeamSearch {
     * @param excludeSelf  build-time self-search mode (Q4 semantics,
     *                     src/index_bipartite.cpp:1330): a query whose id
     *                     matches a candidate node never pools itself
+    * @param extraSeeds   additional entry nodes seeded into every pool
+    *                     (see [[pickSeeds]]); Nil preserves single-ep
+    *                     behavior
     * @return [query_id, ids: array<long>, dists: array<double>] top-k
     */
   def search(adj: DataFrame, vectors: DataFrame, queries: DataFrame,
              k: Int, l: Int, ep: Long, metric: Metric,
              frontierWidth: Int = 4, maxRounds: Int = 64,
-             excludeSelf: Boolean = false): DataFrame = {
+             excludeSelf: Boolean = false,
+             extraSeeds: Seq[Long] = Nil): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
     require(!metric.needNormalize,
@@ -61,15 +78,22 @@ object BspBeamSearch {
       arr.sortBy(e => (e.dist, e.id)).take(l)
     }
 
-    // ---- init: every pool = {ep} ----
-    val epVecRow = vectors.filter(col("id") === ep).select("vec")
-      .as[Array[Float]].collect()
-    require(epVecRow.nonEmpty, s"entry point $ep not in vectors")
-    val epVec = epVecRow.head
+    // ---- init: every pool = {ep} ∪ extraSeeds (seed vectors are a
+    // bounded driver-side list, the same scalar class as epVec) ----
+    val seedIds = (ep +: extraSeeds).distinct
+    val seedVecs = vectors.filter(col("id").isin(seedIds: _*))
+      .select(col("id").cast("long"), col("vec"))
+      .as[(Long, Array[Float])].collect().toMap
+    require(seedVecs.contains(ep), s"entry point $ep not in vectors")
+    val seeds: Array[(Long, Array[Float])] =
+      seedIds.flatMap(id => seedVecs.get(id).map(v => (id, v))).toArray
     var state: Dataset[(Long, Array[Entry])] = qvecs
       .as[(Long, Array[Float])]
       .map { case (qid, qv) =>
-        (qid, Array(Entry(metric.dist(qv, epVec), ep, expanded = false)))
+        val pool = seeds.map { case (id, v) =>
+          Entry(metric.dist(qv, v), id, expanded = false)
+        }.sortBy(e => (e.dist, e.id)).take(l)
+        (qid, pool)
       }
     state = PlanUtil.cut(state)
 

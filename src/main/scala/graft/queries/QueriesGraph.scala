@@ -81,7 +81,11 @@ object QueriesGraph {
 
   // ---- bipartite search (Q2): beam over the 2-hop projection — rows-only --
 
-  private def bipartiteSearchRecall(s: SparkSession, dir: String): DataFrame = {
+  /** Search-result ids of the bipartite 2-hop beam path — shared by the
+    * recall query and the golden-pin spec (GraphGoldenSpec hashes these
+    * ids at sf0.01 so a traversal-order regression is caught even though
+    * beam search has no SQL oracle). */
+  private[graft] def bipartiteSearchIds(s: SparkSession, dir: String): DataFrame = {
     // the bipartite baseline needs |sampled queries| ≈ |base| for its 2-hop
     // graph to be connected (the reference trains on 10M queries for 10M
     // base, prepare_data.sh:27) — use the whole collection as the sample
@@ -92,9 +96,13 @@ object QueriesGraph {
     val twoHop = BipartiteBuilder.projectTwoHop(adj, Nd)
     val idx = graft.ops.graph.GraphSearch.indexFromDF(
       twoHop, bSide(s, dir), Metric.L2)
-    val res = RoarGraphBuilder
+    RoarGraphBuilder
       .searchBatch(idx, qSide(s, dir), SearchParams(10, 100, Metric.L2))
       .select(col("query_id"), col("ids"))
+  }
+
+  private def bipartiteSearchRecall(s: SparkSession, dir: String): DataFrame = {
+    val res = bipartiteSearchIds(s, dir)
     val gt = KnnJoin(qSide(s, dir), bSide(s, dir), 10, Metric.L2)
       .select(col("query_id"), transform(col("knn"), _("id")).as("ids"))
     Eval.recallAtK(res, gt, 10)
@@ -116,11 +124,16 @@ object QueriesGraph {
         "min_degree", "n_reachable")
   }
 
-  private def roargraphRecall(s: SparkSession, dir: String): DataFrame = {
+  /** In-memory build + search results (ids + dists) — shared by the
+    * recall query and GraphGoldenSpec's sf0.01 id-hash pin. */
+  private[graft] def roargraphSearchResults(s: SparkSession, dir: String): DataFrame = {
     val idx = RoarGraphBuilder.build(bSide(s, dir), qSide(s, dir), buildParams)
-    val res = RoarGraphBuilder
+    RoarGraphBuilder
       .searchBatch(idx, qSide(s, dir), SearchParams(10, 100, Metric.L2))
-      .cache()
+  }
+
+  private def roargraphRecall(s: SparkSession, dir: String): DataFrame = {
+    val res = roargraphSearchResults(s, dir).cache()
     val gtKnn = KnnJoin(qSide(s, dir), bSide(s, dir), 10, Metric.L2).cache()
     val gtIds = gtKnn
       .select(col("query_id"), transform(col("knn"), _("id")).as("ids"))
@@ -142,13 +155,19 @@ object QueriesGraph {
     * beside the in-memory builder's number. Phase-2 beam kept narrow: the
     * BSP self-search pays per-round join latency, so its width is the
     * build-cost knob at small scale. */
-  private def roargraphDistRecall(s: SparkSession, dir: String): DataFrame = {
+  /** Distributed build + search ids — shared by the recall query and
+    * GraphGoldenSpec's sf0.01 id-hash pin. */
+  private[graft] def roargraphDistSearchIds(s: SparkSession, dir: String): DataFrame = {
     val dist = graft.build.DistRoarGraphBuilder.build(
       bSide(s, dir), qSide(s, dir), buildParams, frontierWidth = 16)
     val idx = graft.ops.graph.GraphSearch.indexFromDist(dist, bSide(s, dir))
-    val res = RoarGraphBuilder
+    RoarGraphBuilder
       .searchBatch(idx, qSide(s, dir), SearchParams(10, 100, Metric.L2, numSeeds = 4))
       .select(col("query_id"), col("ids"))
+  }
+
+  private def roargraphDistRecall(s: SparkSession, dir: String): DataFrame = {
+    val res = roargraphDistSearchIds(s, dir)
     val gt = KnnJoin(qSide(s, dir), bSide(s, dir), 10, Metric.L2)
       .select(col("query_id"), transform(col("knn"), _("id")).as("ids"))
     Eval.recallAtK(res, gt, 10)

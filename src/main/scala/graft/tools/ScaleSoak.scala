@@ -1,0 +1,171 @@
+package graft.tools
+
+import graft.build.DistRoarGraphBuilder
+import graft.core.{BuildParams, Metric}
+import graft.ops.KnnJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Beyond-broadcast scale soak for the distributed index tier
+  * (VERDICT r3 task 1): build a DistRoarGraph over >=1M x 64d synthetic
+  * vectors END TO END with the JVM heap capped so the broadcast/in-RAM
+  * tier demonstrably cannot run, then BSP-search and report recall@10
+  * against exact kNN ground truth, build/search wall, and peak heap.
+  *
+  * The corpus mirrors the reference's own regime (10M x 200d fbin inputs,
+  * /root/reference/prepare_data.sh:22-28) in shape: clustered embeddings
+  * (1024 deterministic centers + per-id noise), the distribution graph-ANN
+  * serves in practice. Generation is a pure function of (id, j) — no RNG
+  * state, identical on any partitioning.
+  *
+  * Run via plain java for exact heap control (no sbt; JARS = the
+  * /opt/spark/jars glob):
+  * {{{
+  * java -Xmx4g -cp "target/scala-2.13/classes:JARS" \
+  *   graft.tools.ScaleSoak --n 1000000 --tier dist --out target/soak
+  * }}}
+  * `--tier memory` attempts the in-RAM builder at the same heap — expected
+  * to die with OOM; its exit is part of the recorded evidence.
+  */
+object ScaleSoak {
+
+  private val Dim = 64
+  // 64 overlapping clusters (center separation ~6.5, cluster radius ~4.6):
+  // structured like a real embedding corpus but navigable — fully
+  // separated point-mass islands disconnect ANY proximity graph (measured:
+  // recall 0.03 with 1024 tight clusters at noise 0.25)
+  private val Centers = 64
+  private val Noise = 1.0f
+
+  /** splitmix64 — deterministic, partitioning-independent. */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+  private def unit(h: Long): Float =
+    ((h >>> 11).toDouble / (1L << 53).toDouble).toFloat * 2f - 1f
+
+  /** vec(id) = center(id mod Centers) + Noise * noise(id, j); centers and
+    * noise are hash-derived. Queries use a disjoint seed space. */
+  private def genVec(id: Long, seed: Long): Array[Float] = {
+    val c = ((id % Centers) + Centers) % Centers
+    Array.tabulate(Dim) { j =>
+      unit(mix(c * 131071L + j)) + Noise * unit(mix(seed ^ (id * 8191L + j)))
+    }
+  }
+
+  def corpus(spark: SparkSession, n: Long, seed: Long,
+             idOffset: Long = 0L): DataFrame = {
+    import spark.implicits._
+    spark.range(n).as[Long]
+      .map(i => (i + idOffset, genVec(i, seed)))
+      .toDF("id", "vec")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val a = Tools.parseArgs(args)
+    val n = a.getOrElse("n", "1000000").toLong
+    val tier = a.getOrElse("tier", "dist")
+    val out = a.getOrElse("out", "target/soak")
+    val trainQ = a.getOrElse("trainQ", "20000").toInt
+    val evalQ = a.getOrElse("evalQ", "200").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val shufflePartitions = a.getOrElse("shuffle", "96")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", s"$out/tmp")
+      .config("spark.sql.warehouse.dir", s"$out/warehouse")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // peak-heap sampler (local mode: driver and executors share this JVM,
+    // so this bounds BOTH; the no-collect guarantee is the source-level
+    // spec in DistRoarGraphSpec)
+    val peak = new java.util.concurrent.atomic.AtomicLong(0L)
+    val mem = java.lang.management.ManagementFactory.getMemoryMXBean
+    val sampler = new Thread(() => {
+      while (true) {
+        val u = mem.getHeapMemoryUsage.getUsed
+        peak.updateAndGet(p => math.max(p, u))
+        Thread.sleep(200)
+      }
+    })
+    sampler.setDaemon(true)
+    sampler.start()
+
+    println(s"[soak] n=$n dim=$Dim tier=$tier heapMax=${Runtime.getRuntime.maxMemory / (1 << 20)}MiB")
+
+    // materialize the corpus once as parquet so build reads a real table
+    val basePath = s"$out/base_$n"
+    if (!new java.io.File(s"$basePath/_SUCCESS").exists()) {
+      val t0 = System.nanoTime()
+      corpus(spark, n, seed = 0x5EEDL).write.mode("overwrite").parquet(basePath)
+      println(f"[soak] corpus written in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    val base = spark.read.parquet(basePath)
+    val train = corpus(spark, trainQ, seed = 0x77AA11L)
+    val eval = corpus(spark, evalQ, seed = 0xE7A1L, idOffset = 10_000_000L)
+
+    val params = BuildParams(
+      mSq = a.getOrElse("mSq", "32").toInt,
+      mPjbp = a.getOrElse("mPjbp", "24").toInt,
+      lPjpq = a.getOrElse("lPjpq", "48").toInt,
+      metric = Metric.L2)
+
+    val tb = System.nanoTime()
+    tier match {
+      case "memory" =>
+        // expected to OOM at the capped heap: collects all vectors +
+        // builds per-node pools driver-side
+        val idx = graft.build.RoarGraphBuilder.build(base, train, params)
+        println(s"[soak] UNEXPECTED: in-memory build completed n=${idx.n}")
+      case _ =>
+        val di = DistRoarGraphBuilder.build(base, train, params,
+          frontierWidth = 8, maxRounds = 24,
+          selfSearchSeeds = a.getOrElse("seeds", "32").toInt)
+        di.adj.cache()
+        val nAdj = di.adj.count()
+        val buildSec = (System.nanoTime() - tb) / 1e9
+        val maxDeg = di.adj.select(max(size(col("nbrs")))).head().getInt(0)
+        println(f"[soak] dist build: $nAdj nodes, maxDeg=$maxDeg, ${buildSec}%.1f s")
+
+        // ground truth (exact) + BSP search over the built graph
+        val tg = System.nanoTime()
+        val gt = KnnJoin(eval, base, 10, Metric.L2)
+          .select(col("query_id"), transform(col("knn"), _("id")).as("ids")).cache()
+        gt.count()
+        val gtSec = (System.nanoTime() - tg) / 1e9
+        // persist + search through the bucketed serving layout: adjacency
+        // and vectors co-bucketed by node id, so the per-round BSP joins
+        // read pre-partitioned tables and only the frontier shuffles
+        implicit val sp: SparkSession = spark
+        val tw = System.nanoTime()
+        graft.ops.graph.GraphIO.saveDistBucketed(di, base, "graft_soak_idx",
+          buckets = shufflePartitions.toInt)
+        val bucketSec = (System.nanoTime() - tw) / 1e9
+        val (bIdx, bVecs) = graft.ops.graph.GraphIO.loadDistBucketed("graft_soak_idx")
+        println(f"[soak] bucketed layout written in $bucketSec%.1f s")
+        val ts = System.nanoTime()
+        val searchSeeds = graft.ops.graph.BspBeamSearch.pickSeeds(
+          bIdx.adj, a.getOrElse("seeds", "32").toInt)
+        val res = graft.ops.graph.BspBeamSearch.search(bIdx.adj, bVecs, eval,
+          k = 10, l = a.getOrElse("l", "100").toInt, ep = bIdx.ep, Metric.L2,
+          frontierWidth = 8, extraSeeds = searchSeeds)
+          .select(col("query_id"), col("ids")).cache()
+        res.count()
+        val searchSec = (System.nanoTime() - ts) / 1e9
+        val recall = graft.eval.Eval.recallAtK(res, gt, 10)
+          .head().getAs[Double]("recall_at_k")
+        val degCap = 3 * params.mPjbp // m projection + <=2m novel supply
+        println(f"""[soak] {"n":$n,"dim":$Dim,"build_sec":$buildSec%.1f,"gt_sec":$gtSec%.1f,"search_sec":$searchSec%.1f,"recall_at_10":$recall%.4f,"max_degree":$maxDeg,"degree_cap":$degCap,"peak_heap_mib":${peak.get / (1 << 20)},"heap_max_mib":${Runtime.getRuntime.maxMemory / (1 << 20)}}""")
+        require(maxDeg <= degCap, s"degree cap violated: $maxDeg > $degCap")
+    }
+    println(s"[soak] peak heap ${peak.get / (1 << 20)} MiB")
+    spark.stop()
+  }
+}

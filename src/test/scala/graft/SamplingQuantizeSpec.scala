@@ -47,6 +47,58 @@ class SamplingQuantizeSpec extends SparkSpec {
       "ADC ranking diverges from reconstruction search")
   }
 
+  test("OPQ rotation is orthogonal: pairwise L2 distances preserved") {
+    import graft.functions.VectorFunctions
+    val emb = Tables.vectors(spark, sf0001).limit(50).cache()
+    val rot = Quantize.opqRotate(emb, 64)
+    val orig = emb.select(col("id").as("a"), col("vec").as("va"))
+      .crossJoin(emb.select(col("id").as("b"), col("vec").as("vb")))
+      .select(col("a"), col("b"), VectorFunctions.l2Sq(col("va"), col("vb")).as("d0"))
+    val rotd = rot.select(col("id").as("a"), col("vec").as("va"))
+      .crossJoin(rot.select(col("id").as("b"), col("vec").as("vb")))
+      .select(col("a"), col("b"), VectorFunctions.l2Sq(col("va"), col("vb")).as("d1"))
+    val worst = orig.join(rotd, Seq("a", "b"))
+      .select(max(abs(col("d0") - col("d1")))).collect().head.getDouble(0)
+    assert(worst < 1e-3, s"rotation distorts distances by $worst")
+  }
+
+  test("OPQ permutation is a valid, deterministic, variance-balancing perm") {
+    val emb = Tables.vectors(spark, sf0001)
+    val rot = Quantize.opqRotate(emb, 64)
+    val p1 = Quantize.opqPermutation(rot, 64, 16)
+    val p2 = Quantize.opqPermutation(rot, 64, 16)
+    assert(p1.sorted.sameElements(0 until 64), "not a permutation")
+    assert(p1.sameElements(p2), "permutation not deterministic")
+    // permuting then un-permuting is the identity on the vectors
+    val perm = Quantize.permute(rot, p1)
+    val inv = Array.ofDim[Int](64)
+    p1.zipWithIndex.foreach { case (oldPos, newPos) => inv(oldPos) = newPos }
+    val back = Quantize.permute(perm, inv)
+    val diff = rot.select(col("id"), col("vec").as("v0"))
+      .join(back.select(col("id"), col("vec").as("v1")), "id")
+      .filter(col("v0") =!= col("v1")).count()
+    assert(diff == 0, s"$diff rows fail the permute round-trip")
+  }
+
+  test("refine stage recovers exact top-k once the ADC candidate set is wide") {
+    import graft.core.Metric
+    import graft.ops.KnnJoin
+    val emb = Tables.vectors(spark, sf0001)
+    val q = emb.filter(col("id") < 20)
+    val b = emb.filter(col("id") >= 20).cache()
+    val n = b.count().toInt
+    val cb = Quantize.pqTrain(b, m = 8, k = 32, iters = 2)
+    val codes = Quantize.pqEncode(b, cb, m = 8)
+    // R = n: every base row is a candidate, so refine == exact kNN
+    val cand = Quantize.adcTopK(q, codes, cb, n)
+    val refined = Quantize.refineTopK(cand, q, b, 10)
+      .select(col("query_id"), transform(col("knn"), _("id")).as("ids"))
+    val exact = KnnJoin(q, b, 10, Metric.L2)
+      .select(col("query_id"), transform(col("knn"), _("id")).as("ids"))
+    assert(refined.exceptAll(exact).isEmpty && exact.exceptAll(refined).isEmpty,
+      "refine with full candidate set diverges from exact kNN")
+  }
+
   test("sq8 round-trip error bounded by half a quantization step per dim") {
     val vecs = Tables.vectors(spark, sf0001).select("id", "vec")
     val bounds = Quantize.sq8Bounds(vecs)

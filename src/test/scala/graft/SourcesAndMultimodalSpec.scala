@@ -141,4 +141,58 @@ class SourcesAndMultimodalSpec extends SparkSpec {
       .join(mm.select(col("doc_id"), col("meta.n_bytes")), "doc_id")
     assert(byDoc.filter(col("n") =!= 4 || col("covered") =!= col("n_bytes")).isEmpty)
   }
+
+  test("PPM parser: exact pixel round-trip, comment headers, corrupt rejects") {
+    val bytes = MultimodalOps.ppmBytes(42L)
+    val Some((w, h, rgb)) = MultimodalOps.decodePpm(bytes)
+    assert(w == MultimodalOps.PpmW && h == MultimodalOps.PpmH)
+    rgb.zipWithIndex.foreach { case (b, i) =>
+      assert((b & 0xff) == ((42L * 131 + i * 7919) % 256).toInt,
+        s"pixel $i mismatch")
+    }
+    // a hand-built header with extra comments/whitespace still parses
+    val weird = ("P6\n# one\n  # two\n 2\t1 \n# three\n255\n".getBytes("US-ASCII")
+      ++ Array[Byte](1, 2, 3, 4, 5, 6))
+    assert(MultimodalOps.decodePpm(weird).exists(_._3.sameElements(
+      Array[Byte](1, 2, 3, 4, 5, 6))))
+    // truncated payload and wrong magic reject
+    assert(MultimodalOps.decodePpm(bytes.dropRight(1)).isEmpty)
+    assert(MultimodalOps.decodePpm("P5\n1 1\n255\nX".getBytes).isEmpty)
+  }
+
+  test("WAV parser: sample round-trip, unknown chunks skipped, non-PCM rejects") {
+    val bytes = MultimodalOps.wavBytes(43L)
+    val Some((sr, samples)) = MultimodalOps.decodeWav(bytes)
+    assert(sr == MultimodalOps.WavSampleRate)
+    assert(samples.length == (MultimodalOps.WavBase + 43 % MultimodalOps.WavMod))
+    samples.zipWithIndex.foreach { case (s, i) =>
+      assert(s == ((43L * 31 + i * 17) % 2003 - 1001).toShort, s"sample $i")
+    }
+    // splice an unknown LIST chunk between fmt and data: still parses
+    val (head, tail) = bytes.splitAt(36) // end of fmt chunk
+    val list = "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++
+      "INFO".getBytes("US-ASCII")
+    val riffLen = java.nio.ByteBuffer.wrap(bytes, 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt + list.length
+    val spliced = head ++ list ++ tail
+    java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, riffLen)
+    val Some((sr2, samples2)) = MultimodalOps.decodeWav(spliced)
+    assert(sr2 == sr && samples2.sameElements(samples),
+      "LIST chunk broke the chunk walk")
+    // truncation rejects
+    assert(MultimodalOps.decodeWav(bytes.take(40)).isEmpty)
+  }
+
+  test("decodeMedia sniffs formats from bytes and never shuffles payloads") {
+    val docs = Tables.documents(spark, sf0001)
+    val mm = MultimodalOps.synthMedia(docs)
+    val out = MultimodalOps.decodeMedia(mm).cache()
+    assert(out.filter(col("doc_id") % 2 === 0 && col("format") =!= "ppm").isEmpty)
+    assert(out.filter(col("doc_id") % 2 === 1 && col("format") =!= "wav").isEmpty)
+    assert(out.count() == docs.count())
+    // payloads feed a map-only stage: no Exchange between scan and decode
+    val plan = MultimodalOps.decodeMedia(mm).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"payload decode shuffles:\n$plan")
+  }
 }
