@@ -95,11 +95,26 @@ object GraphIO {
     * disk and never re-shuffle (only the per-round frontier, the small
     * side, moves). The 100 TB serving layout for an index that exceeds
     * executor memory. */
+  /** `saveAsTable(overwrite)` only drops what the CATALOG knows; a fresh
+    * session whose warehouse directory survives from a previous process
+    * fails with LOCATION_ALREADY_EXISTS. Drop both the catalog entry and
+    * any stale physical location before writing. */
+  private def dropStale(db: String, table: String)
+                       (implicit spark: SparkSession): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $db.$table")
+    val dbLoc = spark.catalog.getDatabase(db).locationUri
+    val path = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(dbLoc), table)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+  }
+
   def saveDistBucketed(di: graft.build.DistIndex, vectors: DataFrame,
                        db: String, buckets: Int)
                       (implicit spark: SparkSession): Unit = {
     import spark.implicits._
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    Seq("adjacency", "vectors", "meta").foreach(dropStale(db, _))
     di.adj.write.mode("overwrite").bucketBy(buckets, "src").sortBy("src")
       .saveAsTable(s"$db.adjacency")
     vectors.select(col("id").cast("long"), col("vec"))

@@ -248,10 +248,14 @@ object QueriesAnn {
       import graft.ops.Quantize
       val rotTrain = Quantize.opqRotate(pqTrainSet(s, dir), PqDim)
       val perm = Quantize.opqPermutation(rotTrain, PqDim, PqM)
+      // cache the rotated+permuted tables: pqTrain/pqEncode scan them once
+      // per subspace (16-way union), and the rotation HOF must not be
+      // re-evaluated per branch
       val bP = Quantize.permute(Quantize.opqRotate(bSide(s, dir), PqDim), perm)
+        .cache()
       val qP = Quantize.permute(Quantize.opqRotate(qSide(s, dir), PqDim), perm).cache()
-      val cb = Quantize.pqTrain(Quantize.permute(rotTrain, perm),
-        PqM, PqK, PqIters).cache()
+      val trainP = Quantize.permute(rotTrain, perm).cache()
+      val cb = Quantize.pqTrain(trainP, PqM, PqK, PqIters).cache()
       val codes = Quantize.pqEncode(bP, cb, PqM).cache()
       (cb, codes, qP)
     })

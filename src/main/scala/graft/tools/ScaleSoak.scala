@@ -30,12 +30,14 @@ import org.apache.spark.sql.functions._
 object ScaleSoak {
 
   private val Dim = 64
-  // 64 overlapping clusters (center separation ~6.5, cluster radius ~4.6):
-  // structured like a real embedding corpus but navigable — fully
-  // separated point-mass islands disconnect ANY proximity graph (measured:
-  // recall 0.03 with 1024 tight clusters at noise 0.25)
-  private val Centers = 64
-  private val Noise = 1.0f
+  // Overlapping clusters: structured like a real embedding corpus but
+  // navigable — fully separated point-mass islands disconnect ANY
+  // proximity graph (measured: recall 0.03 with 1024 tight clusters at
+  // noise 0.25; 0.76-0.93 at 64 clusters noise 1.0 depending on
+  // train-query ratio and degree — see SCALE.md). Defaults give heavy
+  // overlap; --centers/--noise select harder geometries.
+  private var Centers = 16
+  private var Noise = 1.5f
 
   /** splitmix64 — deterministic, partitioning-independent. */
   private def mix(z0: Long): Long = {
@@ -67,6 +69,8 @@ object ScaleSoak {
   def main(args: Array[String]): Unit = {
     val a = Tools.parseArgs(args)
     val n = a.getOrElse("n", "1000000").toLong
+    Centers = a.getOrElse("centers", Centers.toString).toInt
+    Noise = a.getOrElse("noise", Noise.toString).toFloat
     val tier = a.getOrElse("tier", "dist")
     val out = a.getOrElse("out", "target/soak")
     val trainQ = a.getOrElse("trainQ", "20000").toInt
@@ -79,6 +83,10 @@ object ScaleSoak {
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", s"$out/tmp")
       .config("spark.sql.warehouse.dir", s"$out/warehouse")
+      // per-round BSP shuffles are tens of GB at n>=1M; aggressive driver
+      // GC lets ContextCleaner delete dereferenced shuffle files fast
+      // enough that live spill stays within a couple of rounds' worth
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -101,7 +109,7 @@ object ScaleSoak {
     println(s"[soak] n=$n dim=$Dim tier=$tier heapMax=${Runtime.getRuntime.maxMemory / (1 << 20)}MiB")
 
     // materialize the corpus once as parquet so build reads a real table
-    val basePath = s"$out/base_$n"
+    val basePath = s"$out/base_${n}_c${Centers}_n$Noise"
     if (!new java.io.File(s"$basePath/_SUCCESS").exists()) {
       val t0 = System.nanoTime()
       corpus(spark, n, seed = 0x5EEDL).write.mode("overwrite").parquet(basePath)
@@ -117,16 +125,34 @@ object ScaleSoak {
       lPjpq = a.getOrElse("lPjpq", "48").toInt,
       metric = Metric.L2)
 
+    // the S5 input (train→base kNN) is the same for every tier: compute it
+    // ONCE with the distributed KnnJoin and share, so the memory-tier OOM
+    // demonstration isolates the genuinely in-RAM build phases instead of
+    // re-paying the kNN, and the dist tier doesn't recompute it either
+    val knnPath = s"$basePath.knn_${trainQ}_${params.mSq}"
+    if (!new java.io.File(s"$knnPath/_SUCCESS").exists()) {
+      val tk = System.nanoTime()
+      KnnJoin(train, base, params.mSq, Metric.L2)
+        .select(col("query_id"), transform(col("knn"), _("id")).as("knn"))
+        .write.mode("overwrite").parquet(knnPath)
+      println(f"[soak] train->base kNN written in ${(System.nanoTime() - tk) / 1e9}%.1f s")
+    }
+    val knn = Some(spark.read.parquet(knnPath))
+
     val tb = System.nanoTime()
     tier match {
       case "memory" =>
         // expected to OOM at the capped heap: collects all vectors +
-        // builds per-node pools driver-side
-        val idx = graft.build.RoarGraphBuilder.build(base, train, params)
+        // builds per-node pools driver-side. The in-memory builder's
+        // precomputedKnn contract is DENSE Int ids; the soak corpus ids
+        // are 0..n-1 so dense == external and a cast suffices.
+        val denseKnn = knn.map(_.select(col("query_id"),
+          transform(col("knn"), _.cast("int")).as("knn")))
+        val idx = graft.build.RoarGraphBuilder.build(base, train, params, denseKnn)
         println(s"[soak] UNEXPECTED: in-memory build completed n=${idx.n}")
       case _ =>
-        val di = DistRoarGraphBuilder.build(base, train, params,
-          frontierWidth = 8, maxRounds = 24,
+        val di = DistRoarGraphBuilder.build(base, train, params, knn,
+          frontierWidth = a.getOrElse("fw", "8").toInt, maxRounds = 24,
           selfSearchSeeds = a.getOrElse("seeds", "32").toInt)
         di.adj.cache()
         val nAdj = di.adj.count()

@@ -112,6 +112,28 @@ class DistRoarGraphSpec extends SparkSpec {
       s"adjacency sizeInBytes carries $digits digits — stats lineage not cut")
   }
 
+  test("bucketed save survives a stale warehouse location (fresh catalog)") {
+    // a previous PROCESS left table directories in the warehouse but this
+    // session's in-memory catalog has no entry — saveAsTable(overwrite)
+    // alone fails with LOCATION_ALREADY_EXISTS; saveDistBucketed must
+    // clear the stale location first
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val db = "graft_stale_loc_test"
+    try {
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      val loc = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(spark.catalog.getDatabase(db).locationUri),
+        "adjacency")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(loc) // stale dir with NO catalog entry
+      graft.ops.graph.GraphIO.saveDistBucketed(dist, baseDf, db, buckets = 4)
+      val (back, _) = graft.ops.graph.GraphIO.loadDistBucketed(db)
+      assert(back.ep == dist.ep)
+    } finally {
+      spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    }
+  }
+
   test("no driver materialization of vectors or adjacency in the build source") {
     // the structural point of the distributed path: the only permitted
     // driver-side actions are scalar aggregates (centroid row, entry-point
