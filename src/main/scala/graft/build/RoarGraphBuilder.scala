@@ -299,17 +299,36 @@ object RoarGraphBuilder {
     var u = 0
     while (u < n) {
       if (!seen(u)) {
-        // nearest currently-reachable node (ties by id)
-        var best = -1
-        var bestD = Double.MaxValue
-        var r = 0
-        while (r < n) {
-          if (seen(r)) {
-            val d = index.vs.dist(r, u)
-            if (d < bestD || (d == bestD && r < best)) { bestD = d; best = r }
+        // nearest currently-reachable node (ties by id). The scan is the
+        // cost center at scale — O(n·dim) per unreachable node, measured
+        // serial-loop-bound at 1M nodes — so the argmin fans out over
+        // chunks; min over (dist, id) is associative, so the result is
+        // bit-identical to the serial loop (GraphGoldenSpec pins it).
+        val chunks = 256
+        val step = (n + chunks - 1) / chunks
+        val (bestD, best) = java.util.stream.IntStream.range(0, chunks)
+          .parallel()
+          .mapToObj[(Double, Int)] { c =>
+            val lo = c * step
+            val hi = math.min(lo + step, n)
+            var bd = Double.MaxValue
+            var b = -1
+            var r = lo
+            while (r < hi) {
+              if (seen(r)) {
+                val d = index.vs.dist(r, u)
+                if (d < bd || (d == bd && r < b)) { bd = d; b = r }
+              }
+              r += 1
+            }
+            (bd, b)
           }
-          r += 1
-        }
+          .reduce((Double.MaxValue, -1),
+            (a: (Double, Int), b: (Double, Int)) =>
+              if (b._2 == -1) a
+              else if (a._2 == -1 || b._1 < a._1 ||
+                (b._1 == a._1 && b._2 < a._2)) b
+              else a)
         adj(best) = adj(best) :+ u
         seen(u) = true
         bfs(u)

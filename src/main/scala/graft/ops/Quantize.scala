@@ -237,15 +237,23 @@ object Quantize {
   def opqRotate(vectors: DataFrame, dim: Int): DataFrame = {
     require((dim & (dim - 1)) == 0, s"Hadamard needs power-of-two dim, got $dim")
     val scale = 1.0 / math.sqrt(dim.toDouble)
-    def fsign(j: Column): Column =
-      when(bit_count((j.cast("long") * lit(2654435761L))
-        .bitwiseAND(lit(65535L))) % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
-    def hsign(i: Column, j: Column): Column =
-      when(bit_count(i.bitwiseAND(j)) % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
+    // the ±1 matrix entries are data-independent — materialize them as a
+    // literal so the per-element work in the scan is one multiply+add
+    // (evaluating bit_count/CASE 4096× per row costs ~10× more); the
+    // float result is identical (term h*x, left-fold sum, scale, cast)
+    val mat: Seq[Seq[Double]] = (0 until dim).map { i =>
+      (0 until dim).map { j =>
+        val h = if (java.lang.Integer.bitCount(i & j) % 2 == 0) 1.0 else -1.0
+        val s = if (java.lang.Long.bitCount((j.toLong * 2654435761L) & 0xffffL) % 2 == 0) 1.0 else -1.0
+        h * s
+      }
+    }
+    val matLit = typedLit(mat)
     val rot = transform(sequence(lit(0), lit(dim - 1)), i =>
-      (aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0),
-        (acc, j) => acc +
-          hsign(i, j) * fsign(j) * element_at(col("vec"), j + 1).cast("double"))
+      (aggregate(
+        zip_with(element_at(matLit, i + 1), col("vec"),
+          (h, x) => h * x.cast("double")),
+        lit(0.0), (acc, t) => acc + t)
         * lit(scale)).cast("float"))
     vectors.select(col("id"), rot.as("vec"))
   }

@@ -209,7 +209,11 @@ object QueriesAnn {
   // 16 bytes of codes vs 256 vector bytes = a true 16× compression; the
   // earlier 8×64 layout quantized 8-d cells with 6-bit codebooks — coarse
   // cells were the recall floor (0.47), not the code count
-  private val PqIters = 2
+  // 1 Lloyd iteration: measured (tools/PqLab) — extra iterations move
+  // recall by 0.000 on this corpus at every tested cap, the refine stage
+  // dominates quality anyway, and each iteration costs ~1.5 s engine-side
+  // plus 16 unrolled CTE chains oracle-side
+  private val PqIters = 1
   // train codebooks on a bounded deterministic sample (the PqTrainCap
   // smallest ids) — standard PQ practice (FAISS trains on a subsample);
   // training cost stays constant as the corpus grows while encoding still
