@@ -68,7 +68,8 @@ object DistRoarGraphBuilder {
   def build(base: DataFrame, queries: DataFrame, params: BuildParams,
             precomputedKnn: Option[DataFrame] = None,
             frontierWidth: Int = 8, maxRounds: Int = 64,
-            selfSearchSeeds: Int = 0): DistIndex = {
+            selfSearchSeeds: Int = 0,
+            selfSearchBatches: Int = 1): DistIndex = {
     val spark = base.sparkSession
     import spark.implicits._
     val m = params.mPjbp
@@ -145,10 +146,30 @@ object DistRoarGraphBuilder {
     val p2Seeds =
       if (selfSearchSeeds > 0) BspBeamSearch.pickSeeds(projection, selfSearchSeeds)
       else Nil
-    val selfSearch = BspBeamSearch.search(
-      projection, baseN, baseN, k = params.lPjpq, l = params.lPjpq,
-      ep, scoreMetric, frontierWidth, maxRounds, excludeSelf = true,
-      extraSeeds = p2Seeds)
+    // Self-search queries are independent over the frozen phase-1 snapshot,
+    // so slicing them by id hash and searching slice-by-slice is EXACT —
+    // and it divides the per-round shuffle volume (|frontier|·deg·vecBytes,
+    // the build's peak disk demand) by the batch count. BspBeamSearch
+    // materializes each round eagerly, so the slices run sequentially:
+    // peak spill is one slice's rounds, not the whole corpus's. This is
+    // the knob that bounds scratch-disk per executor at fixed cluster
+    // size; batched == unbatched is spec-gated (DistRoarGraphSpec).
+    val selfSearch =
+      if (selfSearchBatches <= 1)
+        BspBeamSearch.search(
+          projection, baseN, baseN, k = params.lPjpq, l = params.lPjpq,
+          ep, scoreMetric, frontierWidth, maxRounds, excludeSelf = true,
+          extraSeeds = p2Seeds)
+      else
+        (0 until selfSearchBatches).map { b =>
+          BspBeamSearch.search(
+            projection, baseN,
+            baseN.filter(
+              pmod(xxhash64(col("id")), lit(selfSearchBatches)) === lit(b)),
+            k = params.lPjpq, l = params.lPjpq,
+            ep, scoreMetric, frontierWidth, maxRounds, excludeSelf = true,
+            extraSeeds = p2Seeds)
+        }.reduce(_.unionByName(_))
     val supplyFwd = selfSearch
       .select(col("query_id").as("src"),
         explode(arrays_zip(col("dists"), col("ids"))).as("h"))

@@ -151,9 +151,15 @@ object ScaleSoak {
         val idx = graft.build.RoarGraphBuilder.build(base, train, params, denseKnn)
         println(s"[soak] UNEXPECTED: in-memory build completed n=${idx.n}")
       case _ =>
+        // phase-2 self-search batches: bound per-round shuffle spill to
+        // ~one 256k-query slice regardless of n (single-box disk headroom;
+        // a real cluster's aggregate scratch scales with executors)
+        val p2b = a.getOrElse("p2b",
+          math.max(1L, n / 262144L).toString).toInt
         val di = DistRoarGraphBuilder.build(base, train, params, knn,
           frontierWidth = a.getOrElse("fw", "8").toInt, maxRounds = 24,
-          selfSearchSeeds = a.getOrElse("seeds", "32").toInt)
+          selfSearchSeeds = a.getOrElse("seeds", "32").toInt,
+          selfSearchBatches = p2b)
         di.adj.cache()
         val nAdj = di.adj.count()
         val buildSec = (System.nanoTime() - tb) / 1e9

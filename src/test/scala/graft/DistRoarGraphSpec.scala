@@ -59,6 +59,22 @@ class DistRoarGraphSpec extends SparkSpec {
     }
   }
 
+  test("batched phase-2 self-search yields the unbatched adjacency") {
+    import spark.implicits._
+    // self-search queries are independent over the frozen phase-1
+    // snapshot, so slicing them into sequential batches (the scratch-disk
+    // bound for beyond-broadcast builds) must be EXACTLY result-neutral
+    val batched = DistRoarGraphBuilder.build(baseDf, queriesDf, params,
+      selfSearchBatches = 3)
+    assert(batched.ep == dist.ep)
+    val a = dist.adj.as[(Long, Seq[Long])].collect().sortBy(_._1)
+    val b = batched.adj.as[(Long, Seq[Long])].collect().sortBy(_._1)
+    assert(a.length == b.length)
+    a.zip(b).foreach { case ((s1, n1), (s2, n2)) =>
+      assert(s1 == s2 && n1 == n2, s"batched adjacency differs at $s1")
+    }
+  }
+
   test("DistIndex save/load round-trips through parquet") {
     import spark.implicits._
     implicit val s: org.apache.spark.sql.SparkSession = spark
