@@ -115,6 +115,26 @@ object AnnSearch {
       .withColumn("centroid_id", col("_best")("centroid_id"))
       .drop("_best")
 
+  /** Per-query probe set: the `nprobe` nearest centroids (L2, ties by
+    * centroid id) as (query_id, qvec, centroid_id) — the coarse-quantizer
+    * front half of IVF, exposed for composites that scan a different
+    * payload than the raw vectors (e.g. the IVF+PQ byte-domain scan,
+    * [[Quantize.ivfAdcTopK]]). Shuffle-free: centroid scoring is a
+    * literal fold, probe selection is sort_array + slice in the same
+    * projection — no join, no window. */
+  def probeCentroids(queries: DataFrame, centroids: DataFrame,
+                     nprobe: Int): DataFrame =
+    probesLocal(queries, collectCentroids(centroids), nprobe)
+
+  private def probesLocal(queries: DataFrame,
+                          cents: Array[(Int, Array[Float])],
+                          nprobe: Int): DataFrame =
+    queries.select(col("id").as("query_id"), col("vec").as("qvec"))
+      .withColumn("probe",
+        explode(slice(sort_array(centroidScores(col("qvec"), cents)), 1, nprobe)))
+      .select(col("query_id"), col("qvec"),
+        col("probe")("centroid_id").as("centroid_id"))
+
   /** Deterministic Lloyd's k-means over the vector table — the IVF
     * centroid trainer. Per iteration: assignment is the shuffle-free
     * literal-fold argmin; the centroid update is one array-summing
@@ -179,11 +199,7 @@ object AnnSearch {
     // materialized once: both the driver-side distinct-ids collect and the
     // pruned-list join consume the scored probes
     val probes = graft.ops.graph.PlanUtil.cutDF(
-      queries.select(col("id").as("query_id"), col("vec").as("qvec"))
-        .withColumn("probe",
-          explode(slice(sort_array(centroidScores(col("qvec"), cents)), 1, nprobe)))
-        .select(col("query_id"), col("qvec"),
-          col("probe")("centroid_id").as("centroid_id")))
+      probesLocal(queries, cents, nprobe))
     // distinct probed centroid ids (≤ |C|, driver-small) → static
     // partition filter on the lists scan
     val probedIds = probes.select("centroid_id").distinct()
@@ -212,11 +228,7 @@ object AnnSearch {
       .select(col("centroid_id"), col("id").as("base_id"), col("vec").as("bvec"))
     // query → nprobe nearest centroids: sort the literal centroid scores in
     // one projection (no join, no window), take the first nprobe
-    val probes = queries.select(col("id").as("query_id"), col("vec").as("qvec"))
-      .withColumn("probe",
-        explode(slice(sort_array(centroidScores(col("qvec"), cents)), 1, nprobe)))
-      .select(col("query_id"), col("qvec"),
-        col("probe")("centroid_id").as("centroid_id"))
+    val probes = probesLocal(queries, cents, nprobe)
     // search only the probed lists; bounded per-query top-k
     val scored = probes.join(lists, "centroid_id")
       .withColumn("dist",

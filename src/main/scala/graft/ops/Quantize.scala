@@ -307,6 +307,97 @@ object Quantize {
       .agg(topK(col("id"), col("dist")).as("knn"))
   }
 
+  // ---- IVF+PQ composite (the FAISS IndexIVFPQ serving shape) ------------
+  // Coarse quantization prunes the corpus to each query's nprobe inverted
+  // lists; the byte-domain ADC scan ranks only those lists; the refine
+  // stage re-ranks a bounded candidate set with exact distances over the
+  // original vectors. At 100 TB this is the layout that makes vector
+  // search IO-shaped: partition pruning (nprobe/|C| of the corpus) ×
+  // 16 code bytes per row scanned × r random raw-row reads per query.
+
+  /** ADC top-r restricted to each query's probed inverted lists.
+    * `probes` = (query_id, centroid_id) from [[AnnSearch.probeCentroids]]
+    * (coarse quantization in the RAW space — the rotation is orthogonal,
+    * so raw-space probe sets select exactly the right lists for
+    * rotated-space codes); `queriesRot` = (id, vec) queries in the SAME
+    * rotated+permuted space as the codes; `assignedCodes` =
+    * (centroid_id, id, codes).
+    *
+    * The ADC distance is a pure column expression — per candidate row, m
+    * codebook-literal lookups and m×(dim/m) multiply-adds, left-folded in
+    * subspace order (the association the oracle's summed list_sum terms
+    * reproduce) — so unlike the kernel-side [[adcTopK]] the whole
+    * composite stays DuckDB-hash-checkable. Ranking is the bounded
+    * TopKAggregator: partial top-r per partition, scored rows never reach
+    * a window or a full sort. Ties by ascending id. */
+  def ivfAdcTopK(probes: DataFrame, queriesRot: DataFrame,
+                 assignedCodes: DataFrame, codebooks: DataFrame,
+                 r: Int): DataFrame = {
+    val spark = assignedCodes.sparkSession
+    import spark.implicits._
+    val cbRows = codebooks.select(col("subspace").cast("int"),
+      col("centroid_id").cast("int"), col("vec"))
+      .as[(Int, Int, Array[Float])].collect()
+    val m = cbRows.iterator.map(_._1).max + 1
+    val kCodes = cbRows.iterator.map(_._2).max + 1
+    val subDim = cbRows.head._3.length
+    val cb = Array.ofDim[Array[Float]](m, kCodes)
+    cbRows.foreach { case (s, c, v) => cb(s)(c) = v }
+    val cbLit = typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+    // dist = fold over subspaces s of l2sq(q[s*sub..], codebook[s][code_s]);
+    // outer and inner folds are both left-associated double sums — the
+    // exact association of adcTopK's lookup tables and the oracle SQL
+    val dist = aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+        (c, s) => struct(c.as("c"), s.as("s"))),
+      lit(0.0),
+      (acc, t) => acc + aggregate(
+        zip_with(
+          slice(col("qvec"), t("s") * lit(subDim) + lit(1), lit(subDim)),
+          element_at(element_at(cbLit, t("s") + 1), t("c") + 1),
+          (x, y) => (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (a, d) => a + d))
+    val topR = graft.functions.TopKAggregator.topK(r)
+    probes.select(col("query_id"), col("centroid_id"))
+      .join(queriesRot.select(col("id").as("query_id"), col("vec").as("qvec")),
+        "query_id")
+      .join(assignedCodes.select(col("centroid_id"), col("id"), col("codes")),
+        "centroid_id")
+      .select(col("query_id"), col("id").cast("long").as("id"), dist.as("dist"))
+      .groupBy("query_id")
+      .agg(topR(col("id"), col("dist")).as("knn"))
+  }
+
+  /** Persist the IVF+PQ serving layout: PQ codes partitioned by coarse
+    * centroid (16 B of codes per row at the 16×256 layout — a 16× smaller
+    * scan than the raw lists of [[AnnSearch.saveIvf]]), plus the
+    * codebooks. `assignedCodes` = (centroid_id, id, codes). */
+  def saveIvfPq(assignedCodes: DataFrame, codebooks: DataFrame,
+                path: String): Unit = {
+    assignedCodes.select(col("id"), col("codes"), col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$path/codes")
+    codebooks.select(col("subspace"), col("centroid_id"), col("vec"))
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** IVF+PQ top-r over the persisted layout: the probe set becomes a
+    * static partition filter on the codes table (partition pruning — the
+    * scan reads only the probed lists from disk), then the same ADC
+    * ranking as [[ivfAdcTopK]]. Feed the result to [[refineTopK]]. */
+  def ivfPqTopKTable(spark: org.apache.spark.sql.SparkSession, path: String,
+                     probes: DataFrame, queriesRot: DataFrame,
+                     r: Int): DataFrame = {
+    val p = graft.ops.graph.PlanUtil.cutDF(
+      probes.select(col("query_id"), col("centroid_id")))
+    val probedIds = p.select("centroid_id").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val lists = spark.read.parquet(s"$path/codes")
+      .filter(col("centroid_id").isin(probedIds.map(_.asInstanceOf[Any]): _*))
+    ivfAdcTopK(p, queriesRot, lists, spark.read.parquet(s"$path/codebooks"), r)
+  }
+
   /** Reconstruct full vectors from PQ codes (the table form of asymmetric
     * distance: exact kNN over reconstructions ≡ ADC). Output (id, vec). */
   def pqReconstruct(codes: DataFrame, codebooks: DataFrame): DataFrame =

@@ -401,6 +401,70 @@ object QueriesAnn {
        |FROM r ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---- IVF+PQ: coarse-pruned byte-domain scan + exact refine --------------
+
+  /** Refine budget for the IVF+PQ composite: the probed lists hold ~
+    * nprobe/|C| of the corpus, so a 10×k candidate set already dominates
+    * the k-boundary noise the full-corpus chain needs 4k candidates for. */
+  private val IvfPqRefine = 10 * K
+
+  /** IVF+PQ top-k (FAISS IndexIVFPQ's serving shape): raw-space coarse
+    * probe (nprobe of 8 fixed-id centroids — the rotation is orthogonal,
+    * so raw-space probes select exactly the right lists for rotated-space
+    * codes) → ADC scan over ONLY the probed lists' PQ codes → exact
+    * re-rank of the top-$IvfPqRefine over the original vectors. Shares
+    * the memoized rotation/codebooks/codes with the other PQ queries; the
+    * whole chain (coarse assign + probe + relational ADC + refine) is
+    * float-for-float hash-checked. At rest the codes table is partitioned
+    * by centroid ([[graft.ops.Quantize.saveIvfPq]]) and the probe becomes
+    * partition pruning over 16-byte rows. */
+  private def ivfPqQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Quantize
+    val (cb, codes, qP) = pqArtifacts(s, dir)
+    val cents = centroids(s, dir)
+    val assignedCodes = AnnSearch.assignToCentroids(
+        bSide(s, dir).select(col("id"), col("vec")), cents)
+      .select(col("centroid_id"), col("id"))
+      .join(codes, "id")
+    val probes = AnnSearch.probeCentroids(qSide(s, dir), cents, NProbe)
+    val cand = Quantize.ivfAdcTopK(probes, qP, assignedCodes, cb, IvfPqRefine)
+    val refined = Quantize.refineTopK(cand, qSide(s, dir), bSide(s, dir), K)
+    KnnJoin.explodeRanks(refined)
+      .select(col("query_id"), col("rank"), col("base_id"),
+        round(col("dist"), 6).as("dist"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val ivfPqOracle = {
+    val sub = PqDim / PqM
+    val ctes = pqCommonCtes
+    // coarse IVF in RAW space: fixed-id centroids, nearest-centroid
+    // assignment of base rows, nprobe nearest centroids per query — the
+    // same CTE shapes as the plain-IVF oracle, over rawb/rawq
+    ctes += s"cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id BETWEEN $CentroidLo AND $CentroidHi)"
+    ctes += s"assign AS (SELECT bid, cid, row_number() OVER (PARTITION BY bid ORDER BY ${pqL2("be", "ce")}, cid) AS crnk FROM rawb, cents QUALIFY crnk = 1)"
+    ctes += s"probes AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY ${pqL2("qe", "ce")}, cid) AS prnk FROM rawq, cents QUALIFY prnk <= $NProbe)"
+    // rotated-space ADC restricted to the probed lists (same wide-join
+    // shape as the full-corpus ADC oracle)
+    val codeJoins = (1 until PqM).map(s => s"JOIN code$s USING (bid)").mkString(" ")
+    ctes += s"allcodes AS (SELECT code0.bid AS bid, ${(0 until PqM).map(s => s"code$s.code AS k$s").mkString(", ")} FROM code0 $codeJoins)"
+    val cbJoins = (0 until PqM)
+      .map(s => s"JOIN c${s}_$PqIters cb$s ON cb$s.cid = k$s").mkString(" ")
+    ctes += s"wide AS (SELECT bid, ${(0 until PqM).map(s => s"cb$s.ce AS ce$s").mkString(", ")} FROM allcodes $cbJoins)"
+    val distExpr = (0 until PqM).map { s =>
+      val (lo, hi) = (s * sub + 1, (s + 1) * sub)
+      pqL2(s"qe[$lo:$hi]", s"ce$s")
+    }.mkString("(", " + ", ")")
+    ctes += s"adc AS (SELECT qid, bid, $distExpr AS dist FROM q JOIN probes USING (qid) JOIN assign USING (cid) JOIN wide USING (bid))"
+    ctes += s"cand AS (SELECT qid, bid FROM (SELECT qid, bid, row_number() OVER (PARTITION BY qid ORDER BY dist, bid) AS rnk FROM adc) WHERE rnk <= $IvfPqRefine)"
+    ctes += s"rer AS (SELECT cand.qid AS qid, cand.bid AS bid, ${pqL2("rawq.qe", "rawb.be")} AS d FROM cand JOIN rawq ON cand.qid = rawq.qid JOIN rawb ON cand.bid = rawb.bid)"
+    ctes += s"ap AS (SELECT qid, bid, d, row_number() OVER (PARTITION BY qid ORDER BY d, bid) AS rnk FROM rer QUALIFY rnk <= $K)"
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT qid AS query_id, CAST(rnk AS INT) AS rank, bid AS base_id,
+       |       round(d, 6) AS dist
+       |FROM ap ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---- registry -----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -411,6 +475,7 @@ object QueriesAnn {
     "ann_sq8_recall" -> (sq8RecallQuery _),
     "ann_pq_recall" -> (pqRecallQuery _),
     "ann_pq_adc_topk" -> (pqAdcQuery _),
+    "ann_ivfpq_topk" -> (ivfPqQuery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -421,5 +486,6 @@ object QueriesAnn {
     "ann_sq8_recall" -> sq8RecallOracle,
     "ann_pq_recall" -> pqRecallOracle,
     "ann_pq_adc_topk" -> pqAdcOracle,
+    "ann_ivfpq_topk" -> ivfPqOracle,
   )
 }
