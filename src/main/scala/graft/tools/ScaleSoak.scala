@@ -19,9 +19,19 @@ import org.apache.spark.sql.functions._
   * state, identical on any partitioning.
   *
   * Run via plain java for exact heap control (no sbt; JARS = the
-  * /opt/spark/jars glob):
+  * /opt/spark/jars glob). The JDK-17 --add-opens list from build.sbt is
+  * REQUIRED: under heap pressure the BlockManager evicts cached blocks
+  * to disk, eviction serialization auto-picks Kryo, and Kryo's default
+  * registration list touches java.nio.ByteBuffer — without
+  * `--add-opens java.base/java.nio=ALL-UNNAMED` (and friends) the first
+  * eviction kills the job ~30 min in:
   * {{{
-  * java -Xmx4g -cp "target/scala-2.13/classes:JARS" \
+  * java -Xmx4g $(for p in java.lang java.lang.invoke java.lang.reflect \
+  *   java.io java.net java.nio java.util java.util.concurrent \
+  *   java.util.concurrent.atomic sun.nio.ch sun.nio.cs \
+  *   sun.security.action sun.util.calendar; do \
+  *     echo "--add-opens java.base/$p=ALL-UNNAMED"; done) \
+  *   -cp "target/scala-2.13/classes:JARS" \
   *   graft.tools.ScaleSoak --n 1000000 --tier dist --out target/soak
   * }}}
   * `--tier memory` attempts the in-RAM builder at the same heap — expected
