@@ -124,6 +124,33 @@ object GraphIO {
       .write.mode("overwrite").saveAsTable(s"$db.meta")
   }
 
+  /** Attach a bucketed layout written by ANOTHER process: the in-memory
+    * catalog dies with its JVM, but the files and their bucket layout
+    * survive in the warehouse — re-register external tables (explicit
+    * LOCATION + the same CLUSTERED/SORTED BY spec, so downstream joins
+    * still co-locate without an Exchange). This is the serving-side half
+    * of build-once/serve-elsewhere: the build cluster writes
+    * [[saveDistBucketed]], a separate serving session attaches and
+    * [[loadDistBucketed]]s. No-op for tables this catalog already has. */
+  def attachDistBucketed(db: String, buckets: Int)
+                        (implicit spark: SparkSession): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    val dbLoc = spark.catalog.getDatabase(db).locationUri
+    def loc(t: String) = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(dbLoc), t).toString
+    if (!spark.catalog.tableExists(s"$db.adjacency"))
+      spark.sql(s"""CREATE TABLE $db.adjacency (src BIGINT, nbrs ARRAY<BIGINT>)
+        USING parquet CLUSTERED BY (src) SORTED BY (src) INTO $buckets BUCKETS
+        LOCATION '${loc("adjacency")}'""")
+    if (!spark.catalog.tableExists(s"$db.vectors"))
+      spark.sql(s"""CREATE TABLE $db.vectors (id BIGINT, vec ARRAY<FLOAT>)
+        USING parquet CLUSTERED BY (id) SORTED BY (id) INTO $buckets BUCKETS
+        LOCATION '${loc("vectors")}'""")
+    if (!spark.catalog.tableExists(s"$db.meta"))
+      spark.sql(s"""CREATE TABLE $db.meta (entry_point BIGINT, metric STRING)
+        USING parquet LOCATION '${loc("meta")}'""")
+  }
+
   /** Load the bucketed layout: (index, vectors) with both big tables
     * carrying their bucket layout into every downstream join. */
   def loadDistBucketed(db: String)

@@ -97,6 +97,14 @@ object ScaleSoak {
       // GC lets ContextCleaner delete dereferenced shuffle files fast
       // enough that live spill stays within a couple of rounds' worth
       .config("spark.cleaner.periodicGC.interval", "60s")
+      // never use the bypass-merge shuffle writer: it opens one buffered
+      // DiskBlockObjectWriter PER REDUCE PARTITION PER TASK (LZ4 +
+      // serializer buffers are untracked heap), which at threads ×
+      // shufflePartitions writers exhausts a capped heap — measured: the
+      // 4 GiB soak died in LZ4BlockOutputStream.<init> with 16×192
+      // writers. The tungsten sort-based writer spills through tracked
+      // memory and keeps one stream per task.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -161,43 +169,59 @@ object ScaleSoak {
         val idx = graft.build.RoarGraphBuilder.build(base, train, params, denseKnn)
         println(s"[soak] UNEXPECTED: in-memory build completed n=${idx.n}")
       case _ =>
-        // phase-2 self-search batches: bound per-round shuffle spill to
-        // ~one 256k-query slice regardless of n (single-box disk headroom;
-        // a real cluster's aggregate scratch scales with executors)
-        val p2b = a.getOrElse("p2b",
-          math.max(1L, n / 262144L).toString).toInt
-        val di = DistRoarGraphBuilder.build(base, train, params, knn,
-          frontierWidth = a.getOrElse("fw", "8").toInt, maxRounds = 24,
-          selfSearchSeeds = a.getOrElse("seeds", "32").toInt,
-          selfSearchBatches = p2b)
-        di.adj.cache()
-        val nAdj = di.adj.count()
-        val buildSec = (System.nanoTime() - tb) / 1e9
-        val maxDeg = di.adj.select(max(size(col("nbrs")))).head().getInt(0)
-        println(f"[soak] dist build: $nAdj nodes, maxDeg=$maxDeg, ${buildSec}%.1f s")
+        implicit val sp: SparkSession = spark
+        // --searchOnly reuses the bucketed layout a previous run saved —
+        // search-knob sweeps (l, seeds, rounds) cost minutes, not a
+        // rebuild
+        val searchOnly = a.contains("searchOnly")
+        var buildSec = 0.0; var maxDeg = 0
+        if (!searchOnly) {
+          // phase-2 self-search batches: bound per-round shuffle spill to
+          // ~one 256k-query slice regardless of n (single-box disk
+          // headroom; a real cluster's aggregate scratch scales with
+          // executors)
+          val p2b = a.getOrElse("p2b",
+            math.max(1L, n / 262144L).toString).toInt
+          val di = DistRoarGraphBuilder.build(base, train, params, knn,
+            frontierWidth = a.getOrElse("fw", "8").toInt, maxRounds = 24,
+            selfSearchSeeds = a.getOrElse("seeds", "32").toInt,
+            selfSearchBatches = p2b)
+          di.adj.cache()
+          val nAdj = di.adj.count()
+          buildSec = (System.nanoTime() - tb) / 1e9
+          maxDeg = di.adj.select(max(size(col("nbrs")))).head().getInt(0)
+          println(f"[soak] dist build: $nAdj nodes, maxDeg=$maxDeg, ${buildSec}%.1f s")
+          // persist through the bucketed serving layout: adjacency and
+          // vectors co-bucketed by node id, so the per-round BSP joins
+          // read pre-partitioned tables and only the frontier shuffles
+          val tw = System.nanoTime()
+          graft.ops.graph.GraphIO.saveDistBucketed(di, base, "graft_soak_idx",
+            buckets = shufflePartitions.toInt)
+          val bucketSec = (System.nanoTime() - tw) / 1e9
+          println(f"[soak] bucketed layout written in $bucketSec%.1f s")
+          di.adj.unpersist()
+        }
 
-        // ground truth (exact) + BSP search over the built graph
+        // ground truth (exact) + BSP search over the bucketed layout
         val tg = System.nanoTime()
         val gt = KnnJoin(eval, base, 10, Metric.L2)
           .select(col("query_id"), transform(col("knn"), _("id")).as("ids")).cache()
         gt.count()
         val gtSec = (System.nanoTime() - tg) / 1e9
-        // persist + search through the bucketed serving layout: adjacency
-        // and vectors co-bucketed by node id, so the per-round BSP joins
-        // read pre-partitioned tables and only the frontier shuffles
-        implicit val sp: SparkSession = spark
-        val tw = System.nanoTime()
-        graft.ops.graph.GraphIO.saveDistBucketed(di, base, "graft_soak_idx",
-          buckets = shufflePartitions.toInt)
-        val bucketSec = (System.nanoTime() - tw) / 1e9
+        if (searchOnly) // fresh session: re-register the surviving files
+          graft.ops.graph.GraphIO.attachDistBucketed("graft_soak_idx",
+            shufflePartitions.toInt)
         val (bIdx, bVecs) = graft.ops.graph.GraphIO.loadDistBucketed("graft_soak_idx")
-        println(f"[soak] bucketed layout written in $bucketSec%.1f s")
+        if (searchOnly)
+          maxDeg = bIdx.adj.select(max(size(col("nbrs")))).head().getInt(0)
         val ts = System.nanoTime()
         val searchSeeds = graft.ops.graph.BspBeamSearch.pickSeeds(
           bIdx.adj, a.getOrElse("seeds", "32").toInt)
         val res = graft.ops.graph.BspBeamSearch.search(bIdx.adj, bVecs, eval,
           k = 10, l = a.getOrElse("l", "100").toInt, ep = bIdx.ep, Metric.L2,
-          frontierWidth = 8, extraSeeds = searchSeeds)
+          frontierWidth = a.getOrElse("searchFw", "8").toInt,
+          maxRounds = a.getOrElse("searchRounds", "256").toInt,
+          extraSeeds = searchSeeds)
           .select(col("query_id"), col("ids")).cache()
         res.count()
         val searchSec = (System.nanoTime() - ts) / 1e9

@@ -150,6 +150,46 @@ class DistRoarGraphSpec extends SparkSpec {
     }
   }
 
+  test("attachDistBucketed registers a foreign layout with live bucket metadata") {
+    // the serving-side half of build-once/serve-elsewhere: a catalog that
+    // never saw saveDistBucketed attaches the surviving files and must get
+    // (a) identical data and (b) the BUCKET SPEC back — without it the
+    // co-located join silently degrades to a shuffle
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val db = "graft_attach_src"
+    val db2 = "graft_attach_dst"
+    try {
+      graft.ops.graph.GraphIO.saveDistBucketed(dist, baseDf, db, buckets = 8)
+      // copy the database directory to a location no catalog entry covers
+      // (stands in for the fresh process of a serving session)
+      val srcLoc = new org.apache.hadoop.fs.Path(
+        spark.catalog.getDatabase(db).locationUri)
+      val dstLoc = new org.apache.hadoop.fs.Path(
+        java.nio.file.Files.createTempDirectory("graft-attach").toString,
+        s"$db2.db")
+      val fs = srcLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      org.apache.hadoop.fs.FileUtil.copy(fs, srcLoc, fs, dstLoc, false,
+        spark.sparkContext.hadoopConfiguration)
+      spark.sql(s"CREATE DATABASE $db2 LOCATION '$dstLoc'")
+      graft.ops.graph.GraphIO.attachDistBucketed(db2, buckets = 8)
+      val (attached, avecs) = graft.ops.graph.GraphIO.loadDistBucketed(db2)
+      assert(attached.ep == dist.ep)
+      import spark.implicits._
+      val a = attached.adj.as[(Long, Seq[Long])].collect().sortBy(_._1)
+      val b = dist.adj.as[(Long, Seq[Long])].collect().sortBy(_._1)
+      assert(a.sameElements(b), "attached adjacency diverges")
+      val j = attached.adj.join(avecs, col("src") === col("id"))
+        .select(col("src"), size(col("nbrs")), size(col("vec")))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"attached tables lost their bucket spec — join shuffles:\n$plan")
+    } finally {
+      spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+      spark.sql(s"DROP DATABASE IF EXISTS $db2 CASCADE")
+    }
+  }
+
   test("no driver materialization of vectors or adjacency in the build source") {
     // the structural point of the distributed path: the only permitted
     // driver-side actions are scalar aggregates (centroid row, entry-point
