@@ -123,9 +123,18 @@ object Bench {
     val variants =
       f"""{"bsp_search":{"sec":$bspSec%.3f,"recall_at_10":$bspRecall%.4f,"layout":"bucketed","bucket_save_sec":$saveSec%.3f},""" +
         f""""sharded_3":{"build_sec":$shBuildSec%.3f,"search_sec":$shSearchSec%.3f,"recall_at_10":$shRecall%.4f}}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""roargraph":{"n_base":${index.n},"build_sec":$buildSec,"search_sweep":$sweepJson,"scale_variants":$variants},""" +
-      s""""sf":"$sfDir"}""")
+      s""""sf":"$sfDir"}"""
+    println(json)
+    // also write the object to a file: stdout buffering truncated a round
+    // artifact once (BENCH_r04 lost the per-query map's head), and a file
+    // is whole-or-absent regardless of how the driver captures stdout
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
+    if (outPath.getParent != null) java.nio.file.Files.createDirectories(outPath.getParent)
+    java.nio.file.Files.write(outPath,
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

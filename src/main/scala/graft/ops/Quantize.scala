@@ -133,6 +133,26 @@ object Quantize {
       .select(col("id"), transform(col("cs"), _("code")).as("codes"))
   }
 
+  /** Collected codebook rows → dense [subspace][centroid_id] grid, with a
+    * named failure when the grid has a hole (pqTrain's coalesce-keeps-
+    * previous-centroid invariant guarantees density; a foreign codebook
+    * with a gap would otherwise surface as a driver NPE deep inside the
+    * literal construction). */
+  private def denseCodebook(cbRows: Array[(Int, Int, Array[Float])],
+                            m: Int, kCodes: Int): Array[Array[Array[Float]]] = {
+    require(cbRows.length == m * kCodes,
+      s"codebook grid not dense: ${cbRows.length} rows for $m subspaces x " +
+        s"$kCodes codes — every (subspace, centroid_id) up to the max must exist")
+    val cb = Array.ofDim[Array[Float]](m, kCodes)
+    cbRows.foreach { case (s, c, v) => cb(s)(c) = v }
+    (0 until m).foreach { s =>
+      (0 until kCodes).foreach { c =>
+        require(cb(s)(c) != null, s"codebook missing (subspace=$s, centroid_id=$c)")
+      }
+    }
+    cb
+  }
+
   /** Asymmetric distance computation (ADC) top-k over PQ codes — the
     * byte-domain search that makes PQ useful at scale: each query
     * precomputes per-subspace lookup tables `table[s][j] = l2sq(q_s,
@@ -161,8 +181,7 @@ object Quantize {
       .as[(Int, Int, Array[Float])].collect()
     val m = cbRows.iterator.map(_._1).max + 1
     val kCodes = cbRows.iterator.map(_._2).max + 1
-    val cb = Array.ofDim[Array[Float]](m, kCodes)
-    cbRows.foreach { case (s, c, v) => cb(s)(c) = v }
+    val cb = denseCodebook(cbRows, m, kCodes)
     val bcCb = spark.sparkContext.broadcast(cb)
 
     val codesDs = codes.select(col("id").cast("long"), col("codes"))
@@ -341,8 +360,7 @@ object Quantize {
     val m = cbRows.iterator.map(_._1).max + 1
     val kCodes = cbRows.iterator.map(_._2).max + 1
     val subDim = cbRows.head._3.length
-    val cb = Array.ofDim[Array[Float]](m, kCodes)
-    cbRows.foreach { case (s, c, v) => cb(s)(c) = v }
+    val cb = denseCodebook(cbRows, m, kCodes)
     val cbLit = typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
     // dist = fold over subspaces s of l2sq(q[s*sub..], codebook[s][code_s]);
     // outer and inner folds are both left-associated double sums — the

@@ -12,12 +12,18 @@ import org.apache.spark.sql.functions._
   * hop per round:
   *
   *   round = explode frontiers → join adjacency (shuffle keyed by node) →
-  *           join vectors (same key) → score → per-query merge into a
-  *           bounded (dist,id)-sorted pool → next frontier = best
-  *           unexpanded pool entries.
+  *           join vectors (same key) → per-query merge into a bounded
+  *           (dist,id)-sorted pool → next frontier = best unexpanded pool
+  *           entries.
   *
-  * The per-round dataflow is three keyed joins — no broadcast, no driver
-  * data, lineage cut per round via localCheckpoint. Policy difference vs
+  * The per-round dataflow is two keyed joins plus the cogroup merge — no
+  * broadcast, no driver data, lineage cut per round via localCheckpoint.
+  * The query VECTOR rides inside the per-query state row (|Q| × dim,
+  * tiny beside the pool), so scoring happens inside the merge where the
+  * query vector already is: candidate rows shuffle to the cogroup exactly
+  * once, and the query-vector table is never re-joined after round 0
+  * (re-joining it cost one extra keyed shuffle of the scored rows per
+  * round). Policy difference vs
   * the single-node kernel: the visited set is the pool itself (entries
   * evicted past L may be revisited), which is the standard batch
   * approximation; the recall gate in BspBeamSearchSpec measures it.
@@ -87,13 +93,13 @@ object BspBeamSearch {
     require(seedVecs.contains(ep), s"entry point $ep not in vectors")
     val seeds: Array[(Long, Array[Float])] =
       seedIds.flatMap(id => seedVecs.get(id).map(v => (id, v))).toArray
-    var state: Dataset[(Long, Array[Entry])] = qvecs
+    var state: Dataset[(Long, Array[Float], Array[Entry])] = qvecs
       .as[(Long, Array[Float])]
       .map { case (qid, qv) =>
         val pool = seeds.map { case (id, v) =>
           Entry(metric.dist(qv, v), id, expanded = false)
         }.sortBy(e => (e.dist, e.id)).take(l)
-        (qid, pool)
+        (qid, qv, pool)
       }
     state = PlanUtil.cut(state)
 
@@ -101,12 +107,14 @@ object BspBeamSearch {
     var done = false
     while (!done && round < maxRounds) {
       // frontier: best `frontierWidth` unexpanded entries per query
-      val frontier = state.flatMap { case (qid, pool) =>
+      val frontier = state.flatMap { case (qid, _, pool) =>
         pool.iterator.filter(!_.expanded).take(frontierWidth)
           .map(e => (qid, e.id))
       }.toDF("qid", "node")
 
-      // candidate scoring: two keyed joins, one scored row per (query, nbr)
+      // candidate gathering: two keyed joins, one (query, nbr, nbr-vector)
+      // row per candidate — scoring happens query-side in the cogroup,
+      // where the state row already holds the query vector
       val cands = frontier
         .join(adj, col("node") === col("src"))
         .select(col("qid"), explode(col("nbrs")).as("nbr"))
@@ -114,9 +122,7 @@ object BspBeamSearch {
         .distinct()
         .join(vectors, col("nbr") === col("id")) // shuffle keyed by node id
         .select(col("qid"), col("nbr"), col("vec"))
-        .join(qvecs, "qid")
-        .as[(Long, Long, Array[Float], Array[Float])]
-        .map { case (qid, nbr, nvec, qv) => (qid, nbr, metric.dist(qv, nvec)) }
+        .as[(Long, Long, Array[Float])]
 
       // per-query merge: mark this round's frontier expanded, fold in cands.
       // Convergence is observed via an accumulator populated by the SAME job
@@ -129,15 +135,16 @@ object BspBeamSearch {
       state = state
         .groupByKey(_._1)
         .cogroup(cands.groupByKey(_._1)) { (qid, st, cs) =>
-          st.map { case (_, pool) =>
+          st.map { case (_, qv, pool) =>
             var budget = fw
             val marked = pool.map { e =>
               if (!e.expanded && budget > 0) { budget -= 1; e.copy(expanded = true) }
               else e
             }
-            val merged = mergePool(marked, cs.map(c => (c._2, c._3)))
+            val merged = mergePool(marked,
+              cs.map(c => (c._2, metric.dist(qv, c._3))))
             if (merged.exists(!_.expanded)) unexpandedAcc.add(1)
-            (qid, merged)
+            (qid, qv, merged)
           }
         }
       state = PlanUtil.cut(state) // materialize + cut lineage AND stats per round
@@ -146,7 +153,7 @@ object BspBeamSearch {
       round += 1
     }
 
-    state.map { case (qid, pool) =>
+    state.map { case (qid, _, pool) =>
       val top = (if (excludeSelf) pool.filter(_.id != qid) else pool).take(k)
       (qid, top.map(_.id), top.map(_.dist))
     }.toDF("query_id", "ids", "dists")

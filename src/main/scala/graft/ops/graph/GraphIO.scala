@@ -115,12 +115,23 @@ object GraphIO {
     import spark.implicits._
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
     Seq("adjacency", "vectors", "meta").foreach(dropStale(db, _))
-    di.adj.write.mode("overwrite").bucketBy(buckets, "src").sortBy("src")
+    di.adj.select(col("src").cast("long"),
+        col("nbrs").cast("array<bigint>").as("nbrs"))
+      .write.mode("overwrite").bucketBy(buckets, "src").sortBy("src")
       .saveAsTable(s"$db.adjacency")
-    vectors.select(col("id").cast("long"), col("vec"))
+    // cast to array<float> on the WRITE side so the files always match the
+    // schema attachDistBucketed declares — a double-typed caller corpus
+    // would otherwise save fine here and misread in the attaching process
+    vectors.select(col("id").cast("long"),
+        col("vec").cast("array<float>").as("vec"))
       .write.mode("overwrite").bucketBy(buckets, "id").sortBy("id")
       .saveAsTable(s"$db.vectors")
-    Seq((di.ep, metricName(di.metric))).toDF("entry_point", "metric")
+    // the bucket count is part of the layout, not a serving-time opinion:
+    // persist it so attachDistBucketed can never declare a count the files
+    // don't satisfy (a mismatch silently drops buckets or asserts a hash
+    // partitioning the data doesn't have — wrong joins, no error)
+    Seq((di.ep, metricName(di.metric), buckets))
+      .toDF("entry_point", "metric", "buckets")
       .write.mode("overwrite").saveAsTable(s"$db.meta")
   }
 
@@ -131,13 +142,39 @@ object GraphIO {
     * still co-locate without an Exchange). This is the serving-side half
     * of build-once/serve-elsewhere: the build cluster writes
     * [[saveDistBucketed]], a separate serving session attaches and
-    * [[loadDistBucketed]]s. No-op for tables this catalog already has. */
-  def attachDistBucketed(db: String, buckets: Int)
+    * [[loadDistBucketed]]s. No-op for tables this catalog already has.
+    *
+    * The bucket count is read from the layout's own meta (written by
+    * [[saveDistBucketed]]) and cross-checked against the bucket ids in the
+    * data filenames — a caller-supplied count that disagreed with the
+    * files would make Spark silently drop buckets past the declared count
+    * or assume a hash partitioning the files don't satisfy, corrupting
+    * every co-located join with no error. */
+  def attachDistBucketed(db: String)
                         (implicit spark: SparkSession): Unit = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
     val dbLoc = spark.catalog.getDatabase(db).locationUri
     def loc(t: String) = new org.apache.hadoop.fs.Path(
       new org.apache.hadoop.fs.Path(dbLoc), t).toString
+    val metaDf = spark.read.parquet(loc("meta"))
+    require(metaDf.columns.contains("buckets"),
+      s"$db/meta carries no bucket count — layout predates saveDistBucketed's " +
+        "meta schema; rewrite it with saveDistBucketed")
+    val buckets = metaDf.select(col("buckets").cast("int")).head().getInt(0)
+    // validate the declared count against the physical files: bucketed
+    // parquet names carry the bucket id as `_NNNNN` before the extension
+    val bucketId = "_(\\d{5})\\.".r
+    Seq("adjacency", "vectors").foreach { t =>
+      val p = new org.apache.hadoop.fs.Path(loc(t))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val maxSeen = fs.listStatus(p).iterator
+        .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+        .flatMap(n => bucketId.findFirstMatchIn(n).map(_.group(1).toInt))
+        .foldLeft(-1)(math.max)
+      require(maxSeen < buckets,
+        s"$db/$t has bucket id $maxSeen >= declared bucket count $buckets — " +
+          "the files were written with a different bucket spec")
+    }
     if (!spark.catalog.tableExists(s"$db.adjacency"))
       spark.sql(s"""CREATE TABLE $db.adjacency (src BIGINT, nbrs ARRAY<BIGINT>)
         USING parquet CLUSTERED BY (src) SORTED BY (src) INTO $buckets BUCKETS
@@ -147,8 +184,8 @@ object GraphIO {
         USING parquet CLUSTERED BY (id) SORTED BY (id) INTO $buckets BUCKETS
         LOCATION '${loc("vectors")}'""")
     if (!spark.catalog.tableExists(s"$db.meta"))
-      spark.sql(s"""CREATE TABLE $db.meta (entry_point BIGINT, metric STRING)
-        USING parquet LOCATION '${loc("meta")}'""")
+      spark.sql(s"""CREATE TABLE $db.meta (entry_point BIGINT, metric STRING,
+        buckets INT) USING parquet LOCATION '${loc("meta")}'""")
   }
 
   /** Load the bucketed layout: (index, vectors) with both big tables

@@ -202,18 +202,20 @@ object ScaleSoak {
           di.adj.unpersist()
         }
 
-        // ground truth (exact) + BSP search over the bucketed layout
-        val tg = System.nanoTime()
-        val gt = KnnJoin(eval, base, 10, Metric.L2)
-          .select(col("query_id"), transform(col("knn"), _("id")).as("ids")).cache()
-        gt.count()
-        val gtSec = (System.nanoTime() - tg) / 1e9
         if (searchOnly) // fresh session: re-register the surviving files
-          graft.ops.graph.GraphIO.attachDistBucketed("graft_soak_idx",
-            shufflePartitions.toInt)
+          graft.ops.graph.GraphIO.attachDistBucketed("graft_soak_idx")
         val (bIdx, bVecs) = graft.ops.graph.GraphIO.loadDistBucketed("graft_soak_idx")
         if (searchOnly)
           maxDeg = bIdx.adj.select(max(size(col("nbrs")))).head().getInt(0)
+        // ground truth (exact) — in searchOnly mode compute it from the
+        // PERSISTED vectors, not a regenerated corpus: if any generation
+        // parameter differs from the build run, a regenerated base would
+        // silently score recall against the wrong corpus
+        val tg = System.nanoTime()
+        val gt = KnnJoin(eval, if (searchOnly) bVecs else base, 10, Metric.L2)
+          .select(col("query_id"), transform(col("knn"), _("id")).as("ids")).cache()
+        gt.count()
+        val gtSec = (System.nanoTime() - tg) / 1e9
         val ts = System.nanoTime()
         val searchSeeds = graft.ops.graph.BspBeamSearch.pickSeeds(
           bIdx.adj, a.getOrElse("seeds", "32").toInt)

@@ -171,7 +171,7 @@ class DistRoarGraphSpec extends SparkSpec {
       org.apache.hadoop.fs.FileUtil.copy(fs, srcLoc, fs, dstLoc, false,
         spark.sparkContext.hadoopConfiguration)
       spark.sql(s"CREATE DATABASE $db2 LOCATION '$dstLoc'")
-      graft.ops.graph.GraphIO.attachDistBucketed(db2, buckets = 8)
+      graft.ops.graph.GraphIO.attachDistBucketed(db2)
       val (attached, avecs) = graft.ops.graph.GraphIO.loadDistBucketed(db2)
       assert(attached.ep == dist.ep)
       import spark.implicits._
