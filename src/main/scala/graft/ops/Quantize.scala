@@ -246,15 +246,35 @@ object Quantize {
   // column expressions (left-fold association), so the full rotated
   // pipeline stays DuckDB-oracle-checkable float-for-float.
 
-  /** Sign-flipped Hadamard rotation (dim must be a power of two whose
-    * sqrt is exact in binary, e.g. 64): y_i = (1/sqrt(dim)) * sum_j
-    * H_ij * s_j * x_j with H_ij = (-1)^popcount(i AND j) and the
-    * deterministic pre-flip s_j = (-1)^popcount((j * 2654435761) AND
-    * 0xffff). The inner sum is a left fold in j order (aggregate HOF,
-    * codegen'd), scaled once, cast to float — the exact association a
-    * SQL `list_sum(list_transform(...)) * scale` reproduces. */
+  /** Next power of two >= dim — the Hadamard size a `dim`-d input is
+    * zero-padded to by [[opqRotate]]. */
+  def hadamardDim(dim: Int): Int =
+    if ((dim & (dim - 1)) == 0) dim else Integer.highestOneBit(dim) << 1
+
+  /** Sign-flipped Hadamard rotation: y_i = (1/sqrt(D)) * sum_j H_ij * s_j
+    * * x_j with H_ij = (-1)^popcount(i AND j) and the deterministic
+    * pre-flip s_j = (-1)^popcount((j * 2654435761) AND 0xffff). The inner
+    * sum is a left fold in j order (aggregate HOF, codegen'd), scaled
+    * once, cast to float — the exact association a SQL
+    * `list_sum(list_transform(...)) * scale` reproduces.
+    *
+    * Non-power-of-two dims (e.g. the reference's 200-d T2I embeddings,
+    * prepare_data.sh:22-28) are zero-padded to D = [[hadamardDim]](dim)
+    * before the transform: the rotation is orthogonal on the padded
+    * space, padding contributes zero energy, and pairwise distances of
+    * the padded vectors equal those of the originals — so the whole PQ
+    * chain downstream (permutation, training, ADC, refine over ORIGINAL
+    * vectors) is unchanged except that it operates on D-length rotated
+    * vectors. Power-of-two inputs take the exact pre-existing codepath
+    * (identical expressions, hash-stable). */
   def opqRotate(vectors: DataFrame, dim: Int): DataFrame = {
-    require((dim & (dim - 1)) == 0, s"Hadamard needs power-of-two dim, got $dim")
+    val padDim = hadamardDim(dim)
+    if (padDim != dim) {
+      val padded = vectors.select(col("id"),
+        concat(col("vec"),
+          array_repeat(lit(0.0f), padDim - dim)).as("vec"))
+      return opqRotate(padded, padDim)
+    }
     val scale = 1.0 / math.sqrt(dim.toDouble)
     // the ±1 matrix entries are data-independent — materialize them as a
     // literal so the per-element work in the scan is one multiply+add

@@ -25,8 +25,21 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * At scale the tail is bounded by `rebuildEvery × batch size`, so the
   * brute-force term stays a small constant beside the indexed corpus.
-  * Rebuilds happen inside foreachBatch — Structured Streaming's unit of
-  * exactly-once batch side effects.
+  *
+  * Rebuilds are ASYNCHRONOUS: foreachBatch (Structured Streaming's unit
+  * of exactly-once side effects) only appends the batch and, at trigger
+  * points, hands the watermark to a background rebuilder — a rebuild that
+  * takes tens of minutes at corpus scale must not stall ingest, or the
+  * "tail bounded by rebuildEvery × batch size" guarantee silently becomes
+  * "bounded by rebuild wall × arrival rate". One rebuild runs per
+  * directory at a time; triggers arriving mid-rebuild coalesce to the
+  * LATEST watermark (intermediate ones are skipped — each rebuild indexes
+  * everything up to its watermark, so skipping loses nothing). Rebuilds
+  * read only committed immutable batch files and publish through the
+  * atomic versioned snapshot below, so asynchrony cannot tear a read; a
+  * crash mid-rebuild costs index freshness only — the next trigger
+  * rebuilds from durable state, and search quality degrades gracefully to
+  * a longer exact-kNN tail in the meantime.
   *
   * Index publication is atomic: each rebuild stages a complete immutable
   * snapshot (adjacency + meta + watermark) under `index_versions/v<batch>`
@@ -59,9 +72,77 @@ object StreamingAnn {
     }
   }
 
-  /** Start ingesting a stream of (id, vec) rows into `dir`. */
+  /** Per-directory async-rebuild coordination: one rebuild in flight at a
+    * time, later triggers coalesce into `pending` (max watermark wins). */
+  private final class RebuildState {
+    val pending = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val busy = new java.util.concurrent.atomic.AtomicBoolean(false)
+    @volatile var lastError: Option[Throwable] = None
+  }
+  private val states =
+    new java.util.concurrent.ConcurrentHashMap[String, RebuildState]()
+  private val rebuildPool = java.util.concurrent.Executors.newCachedThreadPool(
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-ann-rebuild")
+      t.setDaemon(true)
+      t
+    })
+
+  /** Test seam: invoked at the top of every [[rebuild]]; specs park the
+    * rebuild thread here to prove ingest keeps committing underneath. */
+  @volatile private[graft] var testRebuildBarrier: () => Unit = () => ()
+
+  /** Block until `dir` has no rebuild running or queued; rethrows the last
+    * background rebuild failure, if any. */
+  def awaitRebuilds(dir: String, timeoutMs: Long = 600000L): Unit = {
+    val st = states.get(dir)
+    if (st == null) return
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while ((st.busy.get() || st.pending.get() >= 0) &&
+           System.nanoTime() < deadline)
+      Thread.sleep(25)
+    require(!st.busy.get() && st.pending.get() < 0,
+      s"rebuild for $dir still running after $timeoutMs ms")
+    st.lastError.foreach(t => throw new IllegalStateException(
+      s"background rebuild for $dir failed", t))
+  }
+
+  /** Drain loop for one directory: rebuild at the latest pending
+    * watermark until none remain, then release the busy flag (re-checking
+    * for a trigger that raced the release). */
+  private def runRebuilds(spark: SparkSession, dir: String,
+                          params: BuildParams, st: RebuildState): Unit = {
+    var next = st.pending.getAndSet(-1L)
+    while (next >= 0) {
+      try rebuild(spark, dir, params, next)
+      catch { case t: Throwable => st.lastError = Some(t) }
+      next = st.pending.getAndSet(-1L)
+    }
+    st.busy.set(false)
+    if (st.pending.get() >= 0 && st.busy.compareAndSet(false, true))
+      rebuildPool.submit(new Runnable {
+        def run(): Unit = runRebuilds(spark, dir, params, st)
+      })
+  }
+
+  /** Queue an async rebuild up to `upToBatch` (coalescing with any queued
+    * watermark); starts a drain thread unless one is already running. */
+  private def triggerRebuild(spark: SparkSession, dir: String,
+                             params: BuildParams, upToBatch: Long): Unit = {
+    val st = states.computeIfAbsent(dir, _ => new RebuildState)
+    st.pending.updateAndGet(p => math.max(p, upToBatch))
+    if (st.busy.compareAndSet(false, true))
+      rebuildPool.submit(new Runnable {
+        def run(): Unit = runRebuilds(spark, dir, params, st)
+      })
+  }
+
+  /** Start ingesting a stream of (id, vec) rows into `dir`. `async=false`
+    * runs rebuilds inline in foreachBatch (deterministic single-threaded
+    * mode for debugging); the default hands them to the background
+    * rebuilder so a long rebuild never stalls ingest. */
   def ingest(vectors: DataFrame, dir: String, params: BuildParams,
-             rebuildEvery: Int = 4): StreamingQuery = {
+             rebuildEvery: Int = 4, async: Boolean = true): StreamingQuery = {
     val spark = vectors.sparkSession
     vectors.writeStream
       .outputMode("append")
@@ -70,8 +151,10 @@ object StreamingAnn {
         batch.select(col("id").cast("long"), col("vec"))
           .withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(s"$dir/vectors")
-        if (batchId % rebuildEvery == (rebuildEvery - 1))
-          rebuild(spark, dir, params, upToBatch = batchId)
+        if (batchId % rebuildEvery == (rebuildEvery - 1)) {
+          if (async) triggerRebuild(spark, dir, params, upToBatch = batchId)
+          else rebuild(spark, dir, params, upToBatch = batchId)
+        }
         ()
       }
       .start()
@@ -84,6 +167,7 @@ object StreamingAnn {
     * uses; a deployment with a real query log passes it here instead). */
   def rebuild(spark: SparkSession, dir: String, params: BuildParams,
               upToBatch: Long): Unit = {
+    testRebuildBarrier()
     val vecs = spark.read.parquet(s"$dir/vectors")
       .filter(col("batch_id") <= upToBatch)
       .select(col("id"), col("vec"))

@@ -99,6 +99,53 @@ class SamplingQuantizeSpec extends SparkSpec {
       "refine with full candidate set diverges from exact kNN")
   }
 
+  test("OPQ chain on 200-d vectors (zero-padded Hadamard): refine recall >= 0.9") {
+    // the reference's primary dataset is 200-d (prepare_data.sh:22-28);
+    // the Hadamard requires a power-of-two size, so opqRotate zero-pads
+    // to 256 — orthogonal on the padded space, distances preserved. The
+    // FULL chain (rotate → permute → train → encode → ADC → exact refine
+    // over the ORIGINAL 200-d vectors) must reach production recall.
+    import graft.core.Metric
+    import graft.ops.KnnJoin
+    import spark.implicits._
+    val dim = 200
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def unit(h: Long): Float =
+      ((h >>> 11).toDouble / (1L << 53).toDouble).toFloat * 2f - 1f
+    def vec(id: Long, seed: Long): Array[Float] = {
+      val c = id % 8
+      Array.tabulate(dim)(j =>
+        unit(mix(c * 7919L + j)) + 0.7f * unit(mix(seed ^ (id * 8191L + j))))
+    }
+    val b = spark.range(500).map(i => (i + 100L, vec(i, 0xB0L))).toDF("id", "vec").cache()
+    val q = spark.range(20).map(i => (i, vec(i, 0x90L))).toDF("id", "vec").cache()
+
+    val padDim = Quantize.hadamardDim(dim)
+    assert(padDim == 256)
+    val m = 16
+    val rotB = Quantize.opqRotate(b, dim)
+    assert(rotB.select(size(col("vec"))).head().getInt(0) == padDim)
+    val perm = Quantize.opqPermutation(rotB, padDim, m)
+    assert(perm.sorted.sameElements(0 until padDim), "not a permutation")
+    val bP = Quantize.permute(rotB, perm).cache()
+    val qP = Quantize.permute(Quantize.opqRotate(q, dim), perm).cache()
+    val cb = Quantize.pqTrain(bP, m, k = 32, iters = 1)
+    val codes = Quantize.pqEncode(bP, cb, m)
+    val cand = Quantize.adcTopK(qP, codes, cb, 50)
+    val refined = Quantize.refineTopK(cand, q, b, 10)
+      .select(col("query_id"), transform(col("knn"), _("id")).as("ids"))
+    val gt = KnnJoin(q, b, 10, Metric.L2)
+      .select(col("query_id"), transform(col("knn"), _("id")).as("ids"))
+    val recall = graft.eval.Eval.recallAtK(refined, gt, 10)
+      .collect().head.getAs[Double]("recall_at_k")
+    assert(recall >= 0.9, s"200-d padded OPQ chain recall@10 = $recall")
+  }
+
   test("sq8 round-trip error bounded by half a quantization step per dim") {
     val vecs = Tables.vectors(spark, sf0001).select("id", "vec")
     val bounds = Quantize.sq8Bounds(vecs)
