@@ -45,9 +45,24 @@ final case class DistIndex(adj: DataFrame, ep: Long, metric: Metric)
   * Candidate groups carry their vectors (NeighborVec) so occlusion
   * pruning needs no global vector store. Results are deterministic (all
   * group merges are (dist, id)-ordered); recall is gated by
-  * DistRoarGraphSpec. Reachability repair is a search-time concern here
-  * (SearchParams.numSeeds) — the in-memory builder's driver-side repair
-  * loop does not scale and is deliberately absent.
+  * DistRoarGraphSpec.
+  *
+  * Reachability repair (the scalable analogue of the reference's
+  * CollectPoints, src/index_bipartite.cpp:2587-2604, and of
+  * [[RoarGraphBuilder.repairReachability]]) runs as a distributed
+  * post-pass, ON by default: a distributed BFS from the entry point
+  * marks the reached component; every unreached node then beam-searches
+  * (BSP — beams start at ep, so every candidate they pool is reached BY
+  * CONSTRUCTION) for its nearest reached nodes and receives in-edges
+  * from them. Iterated: once an island's boundary members attach, the
+  * next round's beams can enter the island through them, so islands
+  * drain geometrically (per-source attachment stays bounded, the degree
+  * cap holds — overflow trims the source's ORIGINAL edge tail, never a
+  * repair edge, because a repair edge is some node's only in-link).
+  * Nodes with zero in-degree — which occlusion pruning and caps
+  * routinely produce, and which NO search-time seeding can find — are
+  * exactly what this pass fixes; without it the distributed tier
+  * compensated with 20× beams at search time (SCALE.md round-4 soak).
   */
 object DistRoarGraphBuilder {
 
@@ -69,7 +84,8 @@ object DistRoarGraphBuilder {
             precomputedKnn: Option[DataFrame] = None,
             frontierWidth: Int = 8, maxRounds: Int = 64,
             selfSearchSeeds: Int = 0,
-            selfSearchBatches: Int = 1): DistIndex = {
+            selfSearchBatches: Int = 1,
+            repairReachability: Boolean = true): DistIndex = {
     val spark = base.sparkSession
     import spark.implicits._
     val m = params.mPjbp
@@ -202,8 +218,106 @@ object DistRoarGraphBuilder {
             x => !array_contains(col("nbrs"), x)), 1, 2 * m)).as("nbrs"))
     val adjCut = graft.ops.graph.PlanUtil.cutDF(adj)
 
+    val repaired =
+      if (repairReachability)
+        repair(adjCut, baseN, ep, scoreMetric, m, frontierWidth, maxRounds)
+      else adjCut
+
     baseN.unpersist()
-    DistIndex(adjCut, ep, metric)
+    DistIndex(repaired, ep, metric)
+  }
+
+  /** How many repair in-edges each unreached node asks for, and the cap
+    * on repair edges any single source absorbs per round. The per-source
+    * cap bounds hub fan-in when a whole island's members pick the same
+    * boundary node; dropped members re-attach next round through the
+    * members that DID get in (geometric drain). */
+  private val RepairC = 2
+  private val RepairMaxRounds = 8
+  private val BfsMaxRounds = 96
+
+  /** Distributed reachability repair — see the class doc. Returns the
+    * adjacency with repair in-edges merged, degree cap 3m preserved. */
+  private def repair(adj0: DataFrame, baseN: DataFrame, ep: Long,
+                     metric: Metric, m: Int, frontierWidth: Int,
+                     maxRounds: Int): DataFrame = {
+    val spark = adj0.sparkSession
+    import spark.implicits._
+    val cap = 3 * m
+
+    // ---- distributed BFS from ep: one frontier⋈adjacency + anti-join
+    // per level; the reached set stays a DataFrame throughout ----
+    var reached = graft.ops.graph.PlanUtil.cutDF(
+      Seq(ep).toDF("id"))
+    var frontier = reached
+    var level = 0
+    var grew = true
+    while (grew && level < BfsMaxRounds) {
+      val next = graft.ops.graph.PlanUtil.cutDF(
+        frontier.join(adj0, frontier("id") === adj0("src"))
+          .select(explode(col("nbrs")).as("id")).distinct()
+          .join(reached, Seq("id"), "left_anti"))
+      grew = next.limit(1).count() > 0
+      if (grew) {
+        reached = graft.ops.graph.PlanUtil.cutDF(reached.unionByName(next))
+        frontier = next
+      }
+      level += 1
+    }
+
+    var adjCur = adj0
+    var unreached = graft.ops.graph.PlanUtil.cutDF(
+      baseN.select(col("id"), col("vec"))
+        .join(reached, Seq("id"), "left_anti"))
+    var round = 0
+    var remaining = unreached.count()
+    var progressing = true
+    while (remaining > 0 && progressing && round < RepairMaxRounds) {
+      // nearest reached nodes per unreached query: beams start at ep over
+      // the CURRENT adjacency, so every pooled candidate is reached (incl.
+      // nodes attached in previous rounds — that is what drains islands:
+      // once boundary members attach, the next round's beams walk through
+      // them into the island interior, whose nodes have plenty of room)
+      val hits = BspBeamSearch.search(
+        adjCur, baseN, unreached, k = RepairC,
+        l = math.max(16, 4 * RepairC), ep, metric,
+        frontierWidth, maxRounds, excludeSelf = true)
+      // bounded per-source absorption, (dist, id)-deterministic; a source
+      // only absorbs into its free degree room — original edges are NEVER
+      // trimmed (trimming can orphan nodes whose only in-path ran through
+      // the trimmed edge, un-reaching previously reached regions)
+      val topAttach = graft.functions.TopKAggregator.topK(2 * m)
+      val kept = hits
+        .select(col("query_id").as("u"),
+          explode(arrays_zip(col("dists"), col("ids"))).as("h"))
+        .select(col("h.ids").as("src"), col("u"), col("h.dists").as("d"))
+        .groupBy("src")
+        .agg(topAttach(col("u"), col("d")).as("adds"))
+        .join(adjCur.select(col("src"), size(col("nbrs")).as("deg")), "src")
+        .select(col("src"),
+          slice(col("adds"), lit(1),
+            greatest(lit(0), lit(cap) - col("deg"))).as("adds"))
+        .filter(size(col("adds")) > 0)
+      val attached = graft.ops.graph.PlanUtil.cutDF(
+        kept.select(explode(col("adds")("id")).as("id")).distinct())
+      val merged = adjCur
+        .join(kept, Seq("src"), "left")
+        .as[(Long, Seq[Long], Option[Seq[(Long, Double)]])]
+        .map { case (src, nbrs, addsOpt) =>
+          val have = nbrs.toSet
+          val adds = addsOpt.getOrElse(Seq.empty).map(_._1)
+            .filter(u => u != src && !have.contains(u)).distinct
+          (src, nbrs ++ adds)
+        }.toDF("src", "nbrs")
+      adjCur = graft.ops.graph.PlanUtil.cutDF(merged)
+      unreached = graft.ops.graph.PlanUtil.cutDF(
+        unreached.join(attached, Seq("id"), "left_anti"))
+      val left = unreached.count()
+      progressing = left < remaining
+      remaining = left
+      round += 1
+    }
+    adjCur
   }
 
   /** Bulk reverse-edge merge (G8 ProjectionAddReverse / G12

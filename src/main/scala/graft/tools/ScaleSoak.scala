@@ -39,7 +39,7 @@ import org.apache.spark.sql.functions._
   */
 object ScaleSoak {
 
-  private val Dim = 64
+  private var Dim = 64
   // Overlapping clusters: structured like a real embedding corpus but
   // navigable — fully separated point-mass islands disconnect ANY
   // proximity graph (measured: recall 0.03 with 1024 tight clusters at
@@ -59,26 +59,31 @@ object ScaleSoak {
   private def unit(h: Long): Float =
     ((h >>> 11).toDouble / (1L << 53).toDouble).toFloat * 2f - 1f
 
-  /** vec(id) = center(id mod Centers) + Noise * noise(id, j); centers and
+  /** vec(id) = center(id mod centers) + noise * noise(id, j); centers and
     * noise are hash-derived. Queries use a disjoint seed space. */
-  private def genVec(id: Long, seed: Long): Array[Float] = {
-    val c = ((id % Centers) + Centers) % Centers
-    Array.tabulate(Dim) { j =>
-      unit(mix(c * 131071L + j)) + Noise * unit(mix(seed ^ (id * 8191L + j)))
+  private def genVec(id: Long, seed: Long, dim: Int, centers: Int,
+                     noise: Float): Array[Float] = {
+    val c = ((id % centers) + centers) % centers
+    Array.tabulate(dim) { j =>
+      unit(mix(c * 131071L + j)) + noise * unit(mix(seed ^ (id * 8191L + j)))
     }
   }
 
+  /** Deterministic corpus — also the generator [[TierCurves]] reuses to
+    * reconstruct the soak's query sets against a persisted layout. */
   def corpus(spark: SparkSession, n: Long, seed: Long,
-             idOffset: Long = 0L): DataFrame = {
+             idOffset: Long = 0L, dim: Int = Dim, centers: Int = Centers,
+             noise: Float = Noise): DataFrame = {
     import spark.implicits._
     spark.range(n).as[Long]
-      .map(i => (i + idOffset, genVec(i, seed)))
+      .map(i => (i + idOffset, genVec(i, seed, dim, centers, noise)))
       .toDF("id", "vec")
   }
 
   def main(args: Array[String]): Unit = {
     val a = Tools.parseArgs(args)
     val n = a.getOrElse("n", "1000000").toLong
+    Dim = a.getOrElse("dim", Dim.toString).toInt
     Centers = a.getOrElse("centers", Centers.toString).toInt
     Noise = a.getOrElse("noise", Noise.toString).toFloat
     val tier = a.getOrElse("tier", "dist")
@@ -127,7 +132,7 @@ object ScaleSoak {
     println(s"[soak] n=$n dim=$Dim tier=$tier heapMax=${Runtime.getRuntime.maxMemory / (1 << 20)}MiB")
 
     // materialize the corpus once as parquet so build reads a real table
-    val basePath = s"$out/base_${n}_c${Centers}_n$Noise"
+    val basePath = s"$out/base_${n}_d${Dim}_c${Centers}_n$Noise"
     if (!new java.io.File(s"$basePath/_SUCCESS").exists()) {
       val t0 = System.nanoTime()
       corpus(spark, n, seed = 0x5EEDL).write.mode("overwrite").parquet(basePath)

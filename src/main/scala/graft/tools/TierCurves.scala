@@ -1,0 +1,157 @@
+package graft.tools
+
+import graft.core.{BuildParams, Metric, SearchParams}
+import graft.ops.KnnJoin
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Per-tier QPS-vs-recall curves over the soak corpus (VERDICT r4 task 5)
+  * — the reference's core deliverable shape (its search driver prints
+  * L_pq / QPS / avg_cmps / avg_hops / recall per sweep point,
+  * tests/test_search_roargraph.cpp:231-237), produced here for all three
+  * serving tiers over the SAME corpus and ground truth so the tiers are
+  * directly comparable at the same scale:
+  *
+  *   - `kernel`: the broadcast in-memory beam kernel (fast path; loads
+  *     the persisted distributed index into RAM — legitimate only when it
+  *     fits, which 1M×64d does on the measurement heap);
+  *   - `sharded`: 3-shard fan-out/merge over in-memory sub-indexes built
+  *     from the same persisted vectors;
+  *   - `bsp`: the beyond-broadcast path over the bucketed at-rest layout,
+  *     exactly as the soak searches it.
+  *
+  * Run against a layout persisted by [[ScaleSoak]] (the bucketed
+  * `graft_soak_idx` database in the soak's warehouse):
+  * {{{
+  * sbt "runMain graft.tools.TierCurves --warehouse target/soak/warehouse
+  *   --evalQ 200 --dim 64 --centers 16 --noise 1.5 --tiers kernel,bsp
+  *   --out target/curves.csv"
+  * }}}
+  * Ground truth is exact kNN of the regenerated eval queries against the
+  * PERSISTED vectors (never a regenerated corpus — parameter drift would
+  * silently score against the wrong base). Output: CSV
+  * `tier,l_pq,seeds,qps,recall_at_10,mean_latency_ms,avg_cmps,avg_hops`
+  * (cmps/hops blank for tiers whose kernel does not count them).
+  */
+object TierCurves {
+
+  def main(args: Array[String]): Unit = {
+    val a = Tools.parseArgs(args)
+    val db = a.getOrElse("db", "graft_soak_idx")
+    val warehouse = a.getOrElse("warehouse", "target/soak/warehouse")
+    val out = a.getOrElse("out", "target/curves.csv")
+    val evalQ = a.getOrElse("evalQ", "200").toInt
+    val dim = a.getOrElse("dim", "64").toInt
+    val centers = a.getOrElse("centers", "16").toInt
+    val noise = a.getOrElse("noise", "1.5").toFloat
+    val trainQ = a.getOrElse("trainQ", "40000").toInt
+    val shards = a.getOrElse("shards", "3").toInt
+    val tiers = a.getOrElse("tiers", "kernel,sharded,bsp").split(",").toSet
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    implicit val spark: SparkSession = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", a.getOrElse("shuffle", "96"))
+      .config("spark.sql.warehouse.dir", warehouse)
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "60s")
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    graft.ops.graph.GraphIO.attachDistBucketed(db)
+    val (di, bVecs) = graft.ops.graph.GraphIO.loadDistBucketed(db)
+    val eval = ScaleSoak.corpus(spark, evalQ, seed = 0xE7A1L,
+      idOffset = 10_000_000L, dim = dim, centers = centers, noise = noise)
+      .cache()
+    val nQ = eval.count().toDouble
+
+    println(s"[curves] computing exact GT over the persisted vectors")
+    val gt = KnnJoin(eval, bVecs, 10, di.metric)
+      .select(col("query_id"), transform(col("knn"), _("id")).as("ids")).cache()
+    gt.count()
+
+    val rows = scala.collection.mutable.ArrayBuffer[String]()
+    def record(tier: String, l: Int, seeds: Int, sec: Double, recall: Double,
+               cmps: Option[Double], hops: Option[Double]): Unit = {
+      val row = f"$tier,$l,$seeds,${nQ / sec}%.1f,$recall%.4f," +
+        f"${sec * 1000.0 / nQ}%.3f," +
+        cmps.map(c => f"$c%.1f").getOrElse("") + "," +
+        hops.map(h => f"$h%.1f").getOrElse("")
+      rows += row
+      println(s"[curves] $row")
+    }
+    def recallOf(res: org.apache.spark.sql.DataFrame): Double =
+      graft.eval.Eval.recallAtK(res.select(col("query_id"), col("ids")), gt, 10)
+        .head().getAs[Double]("recall_at_k")
+
+    val lSweep = Seq(10, 20, 50, 100, 200, 300)
+
+    if (tiers("kernel")) {
+      println(s"[curves] loading index into the broadcast kernel")
+      val idx = graft.ops.graph.GraphSearch.indexFromDist(di, bVecs)
+      // one warm pass compiles/caches before timing (reference warmup,
+      // test_search_roargraph.cpp:198-200)
+      graft.build.RoarGraphBuilder.searchBatch(idx, eval,
+        SearchParams(10, 10, di.metric)).count()
+      for (l <- lSweep) {
+        val t0 = System.nanoTime()
+        val res = graft.build.RoarGraphBuilder.searchBatch(idx, eval,
+          SearchParams(k = 10, lPq = l, metric = di.metric)).cache()
+        res.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val ch = res.agg(avg("cmps"), avg("hops")).head()
+        record("kernel", l, 0, sec, recallOf(res),
+          Some(ch.getDouble(0)), Some(ch.getDouble(1)))
+        res.unpersist()
+      }
+    }
+
+    if (tiers("sharded")) {
+      println(s"[curves] building $shards-shard tier from persisted vectors")
+      val train = ScaleSoak.corpus(spark, trainQ, seed = 0x77AA11L,
+        dim = dim, centers = centers, noise = noise)
+      val params = BuildParams(
+        mSq = a.getOrElse("mSq", "32").toInt,
+        mPjbp = a.getOrElse("mPjbp", "32").toInt,
+        lPjpq = a.getOrElse("lPjpq", "48").toInt, metric = di.metric)
+      val tb = System.nanoTime()
+      val sharded = graft.build.ShardedRoarGraph.build(bVecs, train, params, shards)
+      println(f"[curves] sharded build ${(System.nanoTime() - tb) / 1e9}%.1f s")
+      for (l <- lSweep) {
+        val t0 = System.nanoTime()
+        val res = graft.build.ShardedRoarGraph.searchBatch(sharded, eval,
+          SearchParams(k = 10, lPq = l, metric = di.metric)).cache()
+        res.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        record("sharded", l, 0, sec, recallOf(res), None, None)
+        res.unpersist()
+      }
+    }
+
+    if (tiers("bsp")) {
+      for ((l, seeds) <- Seq((100, 32), (100, 128), (300, 128), (300, 256),
+                             (1000, 512), (2000, 1024))) {
+        val extra = graft.ops.graph.BspBeamSearch.pickSeeds(di.adj, seeds)
+        val t0 = System.nanoTime()
+        val res = graft.ops.graph.BspBeamSearch.search(di.adj, bVecs, eval,
+          k = 10, l = l, ep = di.ep, di.metric,
+          frontierWidth = a.getOrElse("searchFw", "8").toInt,
+          maxRounds = a.getOrElse("searchRounds", "256").toInt,
+          extraSeeds = extra).cache()
+        res.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        record("bsp", l, seeds, sec, recallOf(res), None, None)
+        res.unpersist()
+      }
+    }
+
+    val header = "tier,l_pq,seeds,qps,recall_at_10,mean_latency_ms,avg_cmps,avg_hops"
+    val outPath = java.nio.file.Paths.get(out)
+    if (outPath.getParent != null) java.nio.file.Files.createDirectories(outPath.getParent)
+    java.nio.file.Files.write(outPath,
+      (header +: rows).mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"[curves] wrote ${rows.length} rows to $out")
+    spark.stop()
+  }
+}

@@ -190,6 +190,57 @@ class DistRoarGraphSpec extends SparkSpec {
     }
   }
 
+  test("reachability repair reconnects a cluster-disconnected corpus") {
+    import spark.implicits._
+    // tight well-separated clusters: the geometry measured to disconnect
+    // any proximity graph (SCALE.md navigability table — recall 0.03 at
+    // noise .25). Phase-1 projection + caps strand whole islands and
+    // zero-in-degree nodes; the repair pass must reconnect every node.
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def unit(h: Long): Float =
+      ((h >>> 11).toDouble / (1L << 53).toDouble).toFloat * 2f - 1f
+    def vec(id: Long, seed: Long): Array[Float] = {
+      val c = id % 16
+      Array.tabulate(16)(j =>
+        4f * unit(mix(c * 131071L + j)) + 0.25f * unit(mix(seed ^ (id * 8191L + j))))
+    }
+    val b = spark.range(1500).map(i => (i, vec(i, 0xB0L))).toDF("id", "vec")
+    val t = spark.range(120).map(i => (i + 100000L, vec(i * 13L, 0x70L)))
+      .toDF("id", "vec")
+    val p = BuildParams(mSq = 16, mPjbp = 8, lPjpq = 24, metric = Metric.L2)
+
+    def reachableFrom(di: graft.build.DistIndex): Int = {
+      val adj = di.adj.as[(Long, Seq[Long])].collect().toMap
+      val seen = scala.collection.mutable.Set(di.ep)
+      var stack = List(di.ep)
+      while (stack.nonEmpty) {
+        val cur = stack.head; stack = stack.tail
+        adj.getOrElse(cur, Seq.empty).foreach { nb =>
+          if (seen.add(nb)) stack = nb :: stack
+        }
+      }
+      seen.size
+    }
+
+    val broken = DistRoarGraphBuilder.build(b, t, p, repairReachability = false)
+    val nBroken = reachableFrom(broken)
+    assert(nBroken < 1500,
+      s"corpus not disconnected ($nBroken/1500) — geometry no longer stresses repair")
+
+    val fixed = DistRoarGraphBuilder.build(b, t, p)
+    assert(reachableFrom(fixed) == 1500,
+      "repair left unreachable nodes")
+    // repair edges respect the degree cap
+    val cap = 3 * p.mPjbp
+    val maxDeg = fixed.adj.select(max(size(col("nbrs")))).head().getInt(0)
+    assert(maxDeg <= cap, s"repair blew the degree cap: $maxDeg > $cap")
+  }
+
   test("no driver materialization of vectors or adjacency in the build source") {
     // the structural point of the distributed path: the only permitted
     // driver-side actions are scalar aggregates (centroid row, entry-point
