@@ -151,16 +151,20 @@ object ScaleSoak {
     // the S5 input (train→base kNN) is the same for every tier: compute it
     // ONCE with the distributed KnnJoin and share, so the memory-tier OOM
     // demonstration isolates the genuinely in-RAM build phases instead of
-    // re-paying the kNN, and the dist tier doesn't recompute it either
-    val knnPath = s"$basePath.knn_${trainQ}_${params.mSq}"
-    if (!new java.io.File(s"$knnPath/_SUCCESS").exists()) {
-      val tk = System.nanoTime()
-      KnnJoin(train, base, params.mSq, Metric.L2)
-        .select(col("query_id"), transform(col("knn"), _("id")).as("knn"))
-        .write.mode("overwrite").parquet(knnPath)
-      println(f"[soak] train->base kNN written in ${(System.nanoTime() - tk) / 1e9}%.1f s")
+    // re-paying the kNN, and the dist tier doesn't recompute it either.
+    // A --searchOnly run never builds, so it skips the kNN entirely.
+    val wantBuild = !a.contains("searchOnly")
+    val knn = if (!wantBuild) None else {
+      val knnPath = s"$basePath.knn_${trainQ}_${params.mSq}"
+      if (!new java.io.File(s"$knnPath/_SUCCESS").exists()) {
+        val tk = System.nanoTime()
+        KnnJoin(train, base, params.mSq, Metric.L2)
+          .select(col("query_id"), transform(col("knn"), _("id")).as("knn"))
+          .write.mode("overwrite").parquet(knnPath)
+        println(f"[soak] train->base kNN written in ${(System.nanoTime() - tk) / 1e9}%.1f s")
+      }
+      Some(spark.read.parquet(knnPath))
     }
-    val knn = Some(spark.read.parquet(knnPath))
 
     val tb = System.nanoTime()
     tier match {
@@ -188,7 +192,8 @@ object ScaleSoak {
           val p2b = a.getOrElse("p2b",
             math.max(1L, n / 262144L).toString).toInt
           val di = DistRoarGraphBuilder.build(base, train, params, knn,
-            frontierWidth = a.getOrElse("fw", "8").toInt, maxRounds = 24,
+            frontierWidth = a.getOrElse("fw", "8").toInt,
+            maxRounds = a.getOrElse("p2rounds", "24").toInt,
             selfSearchSeeds = a.getOrElse("seeds", "32").toInt,
             selfSearchBatches = p2b)
           di.adj.cache()
