@@ -104,6 +104,16 @@ object DistRoarGraphBuilder {
     val baseN = normalized(base).persist(StorageLevel.MEMORY_AND_DISK)
     val queriesN = normalized(queries)
 
+    // per-phase wall clock: every phase boundary below is an EAGER
+    // PlanUtil.cut / BspBeamSearch round loop, so lap() deltas are real
+    // phase walls (the scale soak's phase table reads these lines)
+    var tMark = System.nanoTime()
+    def lap(name: String): Unit = {
+      val now = System.nanoTime()
+      println(f"[dist-build] $name ${(now - tMark) / 1e9}%.1f s")
+      tMark = now
+    }
+
     // ---- entry point (G22, :2004-2041): centroid argmin under squared L2
     // (the reference hardcodes L2 here regardless of build metric). The
     // centroid is a single dim-length aggregate row — the one value small
@@ -117,6 +127,7 @@ object DistRoarGraphBuilder {
         VectorFunctions.l2Sq(col("vec"), typedLit(centroid)).as("d"))
       .orderBy(col("d").asc, col("id").asc).limit(1)
       .select("id").as[Long].head()
+    lap("centroid+ep")
 
     // ---- build input: query → base exact kNN (A1), external ids ----
     val knn = precomputedKnn.getOrElse(
@@ -150,12 +161,14 @@ object DistRoarGraphBuilder {
           cands.map(c => (c.id, c.dist, c.vec)), pivot, m, scoreMetric))
       }.toDF("src", "nbrs")
     val fwdListsCut = graft.ops.graph.PlanUtil.cutDF(fwdLists)
+    lap("phase1-forward")
 
     // ---- phase 1b/1c (G8/G5): reverse sweep + overflow re-prune ----
     val projection = graft.ops.graph.PlanUtil.cutDF(
       mergeReversePhase(fwdListsCut, baseN, scoreMetric,
         appendCap = m, pruneTo = m, backfill = true, capRev = 2 * m,
         finalCap = None))
+    lap("phase1-reverse")
 
     // ---- phase 2 (G6, :1183-1276): BSP self-search over the frozen
     // phase-1 snapshot; pool prune (G9: strict pass, no backfill) ----
@@ -202,6 +215,7 @@ object DistRoarGraphBuilder {
           backfill = false))
       }.toDF("src", "nbrs")
     val supplyFwdCut = graft.ops.graph.PlanUtil.cutDF(supplyFwd)
+    lap("phase2-selfsearch")
 
     // ---- supply reverse (G12 cap 2m) + overflow prune to m (G11), then
     // the reference's post-pass cap at m (:1224-1248) ----
@@ -217,11 +231,14 @@ object DistRoarGraphBuilder {
           slice(filter(coalesce(col("snbrs"), array().cast("array<bigint>")),
             x => !array_contains(col("nbrs"), x)), 1, 2 * m)).as("nbrs"))
     val adjCut = graft.ops.graph.PlanUtil.cutDF(adj)
+    lap("phase2-supply-merge")
 
     val repaired =
-      if (repairReachability)
-        repair(adjCut, baseN, ep, scoreMetric, m, frontierWidth, maxRounds)
-      else adjCut
+      if (repairReachability) {
+        val r = repair(adjCut, baseN, ep, scoreMetric, m, frontierWidth, maxRounds)
+        lap("repair")
+        r
+      } else adjCut
 
     baseN.unpersist()
     DistIndex(repaired, ep, metric)

@@ -169,20 +169,41 @@ object ScaleSoak {
     val tb = System.nanoTime()
     tier match {
       case "memory" =>
-        // expected to OOM at the capped heap: collects all vectors +
-        // builds per-node pools driver-side. The in-memory builder's
-        // precomputedKnn contract is DENSE Int ids; the soak corpus ids
-        // are 0..n-1 so dense == external and a cast suffices.
+        // at a capped heap this is the OOM demonstration (collects all
+        // vectors + per-node pools driver-side); at a roomy heap it is
+        // the QUALITY COMPARATOR for the distributed tier: same corpus,
+        // same train kNN, the reference-faithful in-RAM builder + kernel
+        // search, recall measured against the same exact GT. The
+        // in-memory builder's precomputedKnn contract is DENSE Int ids;
+        // the soak corpus ids are 0..n-1 so dense == external and a cast
+        // suffices.
         val denseKnn = knn.map(_.select(col("query_id"),
           transform(col("knn"), _.cast("int")).as("knn")))
         val idx = graft.build.RoarGraphBuilder.build(base, train, params, denseKnn)
-        println(s"[soak] UNEXPECTED: in-memory build completed n=${idx.n}")
+        val memBuildSec = (System.nanoTime() - tb) / 1e9
+        println(f"[soak] in-memory build completed n=${idx.n}, $memBuildSec%.1f s")
+        val tg = System.nanoTime()
+        val gt = KnnJoin(eval, base, 10, Metric.L2)
+          .select(col("query_id"), transform(col("knn"), _("id")).as("ids")).cache()
+        gt.count()
+        val gtSec = (System.nanoTime() - tg) / 1e9
+        val ts = System.nanoTime()
+        val res = graft.build.RoarGraphBuilder.searchBatch(idx, eval,
+          graft.core.SearchParams(k = 10, lPq = a.getOrElse("l", "100").toInt,
+            metric = Metric.L2))
+          .select(col("query_id"), col("ids")).cache()
+        res.count()
+        val searchSec = (System.nanoTime() - ts) / 1e9
+        val recall = graft.eval.Eval.recallAtK(res, gt, 10)
+          .head().getAs[Double]("recall_at_k")
+        println(f"""[soak] {"n":$n,"dim":$Dim,"tier":"memory","build_sec":$memBuildSec%.1f,"gt_sec":$gtSec%.1f,"search_sec":$searchSec%.1f,"recall_at_10":$recall%.4f,"peak_heap_mib":${peak.get / (1 << 20)},"heap_max_mib":${Runtime.getRuntime.maxMemory / (1 << 20)}}""")
       case _ =>
         implicit val sp: SparkSession = spark
         // --searchOnly reuses the bucketed layout a previous run saved —
         // search-knob sweeps (l, seeds, rounds) cost minutes, not a
         // rebuild
         val searchOnly = a.contains("searchOnly")
+        val soakDb = a.getOrElse("db", "graft_soak_idx")
         var buildSec = 0.0; var maxDeg = 0
         if (!searchOnly) {
           // phase-2 self-search batches: bound per-round shuffle spill to
@@ -205,7 +226,7 @@ object ScaleSoak {
           // vectors co-bucketed by node id, so the per-round BSP joins
           // read pre-partitioned tables and only the frontier shuffles
           val tw = System.nanoTime()
-          graft.ops.graph.GraphIO.saveDistBucketed(di, base, "graft_soak_idx",
+          graft.ops.graph.GraphIO.saveDistBucketed(di, base, soakDb,
             buckets = shufflePartitions.toInt)
           val bucketSec = (System.nanoTime() - tw) / 1e9
           println(f"[soak] bucketed layout written in $bucketSec%.1f s")
@@ -213,8 +234,8 @@ object ScaleSoak {
         }
 
         if (searchOnly) // fresh session: re-register the surviving files
-          graft.ops.graph.GraphIO.attachDistBucketed("graft_soak_idx")
-        val (bIdx, bVecs) = graft.ops.graph.GraphIO.loadDistBucketed("graft_soak_idx")
+          graft.ops.graph.GraphIO.attachDistBucketed(soakDb)
+        val (bIdx, bVecs) = graft.ops.graph.GraphIO.loadDistBucketed(soakDb)
         if (searchOnly)
           maxDeg = bIdx.adj.select(max(size(col("nbrs")))).head().getInt(0)
         // ground truth (exact) — in searchOnly mode compute it from the
