@@ -33,10 +33,24 @@ object Tools {
     if (path.endsWith(".fbin")) FbinCodec.readFbin(spark, path)
     else spark.read.parquet(path).select(col("id"), col("vec"))
 
-  def parseArgs(args: Array[String]): Map[String, String] =
-    args.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
-    }.toMap
+  /** `--key value` pairs plus valueless boolean flags (`--searchOnly`):
+    * a `--key` followed by another `--key` (or nothing) parses as
+    * `"true"`. Strict pair-sliding would silently shift every key after
+    * a bare flag onto the wrong value — measured: a soak sweep ran at
+    * l=100 against the wrong layout because `--searchOnly --db x`
+    * consumed `--db` as searchOnly's value. */
+  def parseArgs(args: Array[String]): Map[String, String] = {
+    val m = Map.newBuilder[String, String]
+    var i = 0
+    while (i < args.length) {
+      if (args(i).startsWith("--")) {
+        if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+          m += args(i).drop(2) -> args(i + 1); i += 2
+        } else { m += args(i).drop(2) -> "true"; i += 1 }
+      } else i += 1
+    }
+    m.result()
+  }
 }
 
 /** Build a RoarGraph index: mirrors run_roargraph_test.sh's invocation.

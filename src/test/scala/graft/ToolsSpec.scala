@@ -68,4 +68,13 @@ class ToolsSpec extends SparkSpec {
     val a = Tools.parseArgs(Array("--base", "b.fbin", "--M_sq", "100"))
     assert(a == Map("base" -> "b.fbin", "M_sq" -> "100"))
   }
+
+  test("arg parsing: bare boolean flags do not shift later keys") {
+    // regression: pair-sliding consumed `--db` as --searchOnly's value,
+    // so a soak sweep silently ran with the default db and default l
+    val a = Tools.parseArgs(
+      Array("--searchOnly", "--db", "x", "--l", "300", "--flagAtEnd"))
+    assert(a == Map("searchOnly" -> "true", "db" -> "x", "l" -> "300",
+      "flagAtEnd" -> "true"))
+  }
 }
