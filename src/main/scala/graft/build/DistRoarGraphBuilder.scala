@@ -56,9 +56,21 @@ final case class DistIndex(adj: DataFrame, ep: Long, metric: Metric)
   * CONSTRUCTION) for its nearest reached nodes and receives in-edges
   * from them. Iterated: once an island's boundary members attach, the
   * next round's beams can enter the island through them, so islands
-  * drain geometrically (per-source attachment stays bounded, the degree
-  * cap holds — overflow trims the source's ORIGINAL edge tail, never a
-  * repair edge, because a repair edge is some node's only in-link).
+  * drain geometrically. A source normally absorbs repair edges only
+  * into its free degree room (cap 3m); when a round stalls because
+  * every candidate source is saturated, the next round lets sources
+  * trim their ORIGINAL edge tail (never a repair edge — a repair edge
+  * is some node's only in-link) to make room, and because trimming can
+  * in principle orphan a node whose only in-path ran through the
+  * trimmed edge, any pass that trimmed is re-verified by a fresh BFS
+  * (bounded outer passes) before repair reports done. If the loop
+  * still exits with unreachable nodes it says so loudly (a
+  * `[dist-build] WARNING` line) instead of returning silently.
+  *
+  * Job-count bound at scale: the BFS materializes every
+  * [[BfsHopsPerBatch]] levels (one multi-hop plan per materialization),
+  * so a diameter-D graph costs O(D/8) jobs, not O(D); attach rounds are
+  * bounded by RepairMaxRounds per pass and RepairMaxPasses passes.
   * Nodes with zero in-degree — which occlusion pruning and caps
   * routinely produce, and which NO search-time seeding can find — are
   * exactly what this pass fixes; without it the distributed tier
@@ -251,10 +263,52 @@ object DistRoarGraphBuilder {
     * members that DID get in (geometric drain). */
   private val RepairC = 2
   private val RepairMaxRounds = 8
+  private val RepairMaxPasses = 3
   private val BfsMaxRounds = 96
+  private val BfsHopsPerBatch = 8
+
+  /** Distributed BFS from `ep` over `adj` — returns the reached id set as
+    * a DataFrame. Expands [[BfsHopsPerBatch]] levels per materialization:
+    * the hop chain (frontier ⋈ adjacency → explode → distinct, minus the
+    * batch-start reached set at every hop) stays one lazy plan, so a
+    * diameter-D graph costs O(D/8) driver-stepped jobs instead of O(D) —
+    * the per-job launch latency, not the shuffled bytes, dominated the
+    * per-level variant (VERDICT r5 #2: 19 s of pure job latency on an
+    * 1,800-node graph). */
+  private def bfsReached(adj: DataFrame, ep: Long): DataFrame = {
+    val spark = adj.sparkSession
+    import spark.implicits._
+    var reached = graft.ops.graph.PlanUtil.cutDF(Seq(ep).toDF("id"))
+    var frontier = reached
+    var level = 0
+    var grew = true
+    while (grew && level < BfsMaxRounds) {
+      var cur = frontier
+      val hops = (0 until BfsHopsPerBatch).map { _ =>
+        cur = cur.join(adj, cur("id") === adj("src"))
+          .select(explode(col("nbrs")).as("id")).distinct()
+          .join(reached, Seq("id"), "left_anti")
+        cur
+      }
+      val next = graft.ops.graph.PlanUtil.cutDF(
+        hops.reduce(_.unionByName(_)).distinct())
+      grew = next.limit(1).count() > 0
+      if (grew) {
+        reached = graft.ops.graph.PlanUtil.cutDF(reached.unionByName(next))
+        frontier = next
+      }
+      level += BfsHopsPerBatch
+    }
+    reached
+  }
 
   /** Distributed reachability repair — see the class doc. Returns the
-    * adjacency with repair in-edges merged, degree cap 3m preserved. */
+    * adjacency with repair in-edges merged, degree cap 3m preserved.
+    * Carries an `origCnt` column through the attach rounds (adjacency is
+    * always original-prefix ++ appended-repair-edges, so `origCnt` marks
+    * the trim-eligible prefix); trims happen only in a round that follows
+    * a stalled round, and any pass that trimmed is re-verified by a fresh
+    * BFS before repair reports done. */
   private def repair(adj0: DataFrame, baseN: DataFrame, ep: Long,
                      metric: Metric, m: Int, frontierWidth: Int,
                      maxRounds: Int): DataFrame = {
@@ -262,79 +316,108 @@ object DistRoarGraphBuilder {
     import spark.implicits._
     val cap = 3 * m
 
-    // ---- distributed BFS from ep: one frontier⋈adjacency + anti-join
-    // per level; the reached set stays a DataFrame throughout ----
-    var reached = graft.ops.graph.PlanUtil.cutDF(
-      Seq(ep).toDF("id"))
-    var frontier = reached
-    var level = 0
-    var grew = true
-    while (grew && level < BfsMaxRounds) {
-      val next = graft.ops.graph.PlanUtil.cutDF(
-        frontier.join(adj0, frontier("id") === adj0("src"))
-          .select(explode(col("nbrs")).as("id")).distinct()
+    var adjCur = graft.ops.graph.PlanUtil.cutDF(
+      adj0.select(col("src"), col("nbrs"), size(col("nbrs")).as("origCnt")))
+    var remaining = 0L
+    var pass = 0
+    var done = false
+    while (!done && pass < RepairMaxPasses) {
+      // BFS is re-run per pass: pass 0 discovers the unreached set, later
+      // passes VERIFY the post-trim graph (trims can in principle orphan
+      // a node whose only in-path ran through the trimmed edge)
+      val reached = bfsReached(adjCur.select("src", "nbrs"), ep)
+      var unreached = graft.ops.graph.PlanUtil.cutDF(
+        baseN.select(col("id"), col("vec"))
           .join(reached, Seq("id"), "left_anti"))
-      grew = next.limit(1).count() > 0
-      if (grew) {
-        reached = graft.ops.graph.PlanUtil.cutDF(reached.unionByName(next))
-        frontier = next
+      remaining = unreached.count()
+      if (remaining == 0) done = true
+      else {
+        val passStart = remaining
+        var round = 0
+        var allowTrim = false
+        var trimmedThisPass = false
+        var exhausted = false
+        while (remaining > 0 && !exhausted && round < RepairMaxRounds) {
+          val ranWithTrim = allowTrim
+          // nearest reached nodes per unreached query: beams start at ep
+          // over the CURRENT adjacency, so every pooled candidate is
+          // reached (incl. nodes attached in previous rounds — that is
+          // what drains islands: once boundary members attach, the next
+          // round's beams walk through them into the island interior)
+          val hits = BspBeamSearch.search(
+            adjCur.select("src", "nbrs"), baseN, unreached, k = RepairC,
+            l = math.max(16, 4 * RepairC), ep, metric,
+            frontierWidth, maxRounds, excludeSelf = true)
+          // bounded per-source absorption, (dist, id)-deterministic. A
+          // source normally absorbs only into its free degree room; in a
+          // trim round (previous round stalled on saturated sources) the
+          // allowance is raised to min(origCnt, RepairC) so the merge can
+          // trim that many ORIGINAL tail edges — never a repair edge.
+          val topAttach = graft.functions.TopKAggregator.topK(2 * m)
+          val allowance =
+            if (allowTrim)
+              greatest(lit(cap) - col("deg"),
+                least(col("origCnt"), lit(RepairC)))
+            else greatest(lit(0), lit(cap) - col("deg"))
+          val kept = hits
+            .select(col("query_id").as("u"),
+              explode(arrays_zip(col("dists"), col("ids"))).as("h"))
+            .select(col("h.ids").as("src"), col("u"), col("h.dists").as("d"))
+            .groupBy("src")
+            .agg(topAttach(col("u"), col("d")).as("adds"))
+            .join(adjCur.select(col("src"), size(col("nbrs")).as("deg"),
+              col("origCnt")), "src")
+            .select(col("src"), slice(col("adds"), lit(1), allowance).as("adds"))
+            .filter(size(col("adds")) > 0)
+          val attached = graft.ops.graph.PlanUtil.cutDF(
+            kept.select(explode(col("adds")("id")).as("id")).distinct())
+          val merged = adjCur
+            .join(kept.select(col("src"), col("adds")), Seq("src"), "left")
+            .as[(Long, Seq[Long], Int, Option[Seq[(Long, Double)]])]
+            .map { case (src, nbrs, origCnt, addsOpt) =>
+              val have = nbrs.toSet
+              val adds = addsOpt.getOrElse(Seq.empty).map(_._1)
+                .filter(u => u != src && !have.contains(u)).distinct
+              val room = cap - nbrs.size
+              if (adds.size <= room) (src, nbrs ++ adds, origCnt)
+              else {
+                // overflow ≤ allowance - room ≤ min(origCnt, RepairC), so
+                // the original prefix always has room to give
+                val t = math.min(adds.size - math.max(room, 0), origCnt)
+                val kept2 = nbrs.take(origCnt - t) ++ nbrs.drop(origCnt)
+                (src, kept2 ++ adds.take(math.max(room, 0) + t), origCnt - t)
+              }
+            }.toDF("src", "nbrs", "origCnt")
+          adjCur = graft.ops.graph.PlanUtil.cutDF(merged)
+          unreached = graft.ops.graph.PlanUtil.cutDF(
+            unreached.join(attached, Seq("id"), "left_anti"))
+          val left = unreached.count()
+          // a trim round that attached anything may have trimmed (only
+          // saturated sources trim; a stalled round changed nothing)
+          if (ranWithTrim && left < remaining) trimmedThisPass = true
+          if (left < remaining) allowTrim = false
+          else if (!ranWithTrim) allowTrim = true // stall → next round may trim
+          else exhausted = true                   // trim round also stalled
+          remaining = left
+          round += 1
+        }
+        // a pass that never trimmed cannot have un-reached anything, so
+        // its residual state is authoritative: stop when it finished, was
+        // exhausted, or made zero progress (retrying cannot improve). A
+        // pass that trimmed is NEVER authoritative — fall through so the
+        // outer loop re-runs the BFS to verify (bounded by
+        // RepairMaxPasses).
+        if (!trimmedThisPass &&
+            (remaining == 0 || exhausted || remaining == passStart))
+          done = true
       }
-      level += 1
+      pass += 1
     }
-
-    var adjCur = adj0
-    var unreached = graft.ops.graph.PlanUtil.cutDF(
-      baseN.select(col("id"), col("vec"))
-        .join(reached, Seq("id"), "left_anti"))
-    var round = 0
-    var remaining = unreached.count()
-    var progressing = true
-    while (remaining > 0 && progressing && round < RepairMaxRounds) {
-      // nearest reached nodes per unreached query: beams start at ep over
-      // the CURRENT adjacency, so every pooled candidate is reached (incl.
-      // nodes attached in previous rounds — that is what drains islands:
-      // once boundary members attach, the next round's beams walk through
-      // them into the island interior, whose nodes have plenty of room)
-      val hits = BspBeamSearch.search(
-        adjCur, baseN, unreached, k = RepairC,
-        l = math.max(16, 4 * RepairC), ep, metric,
-        frontierWidth, maxRounds, excludeSelf = true)
-      // bounded per-source absorption, (dist, id)-deterministic; a source
-      // only absorbs into its free degree room — original edges are NEVER
-      // trimmed (trimming can orphan nodes whose only in-path ran through
-      // the trimmed edge, un-reaching previously reached regions)
-      val topAttach = graft.functions.TopKAggregator.topK(2 * m)
-      val kept = hits
-        .select(col("query_id").as("u"),
-          explode(arrays_zip(col("dists"), col("ids"))).as("h"))
-        .select(col("h.ids").as("src"), col("u"), col("h.dists").as("d"))
-        .groupBy("src")
-        .agg(topAttach(col("u"), col("d")).as("adds"))
-        .join(adjCur.select(col("src"), size(col("nbrs")).as("deg")), "src")
-        .select(col("src"),
-          slice(col("adds"), lit(1),
-            greatest(lit(0), lit(cap) - col("deg"))).as("adds"))
-        .filter(size(col("adds")) > 0)
-      val attached = graft.ops.graph.PlanUtil.cutDF(
-        kept.select(explode(col("adds")("id")).as("id")).distinct())
-      val merged = adjCur
-        .join(kept, Seq("src"), "left")
-        .as[(Long, Seq[Long], Option[Seq[(Long, Double)]])]
-        .map { case (src, nbrs, addsOpt) =>
-          val have = nbrs.toSet
-          val adds = addsOpt.getOrElse(Seq.empty).map(_._1)
-            .filter(u => u != src && !have.contains(u)).distinct
-          (src, nbrs ++ adds)
-        }.toDF("src", "nbrs")
-      adjCur = graft.ops.graph.PlanUtil.cutDF(merged)
-      unreached = graft.ops.graph.PlanUtil.cutDF(
-        unreached.join(attached, Seq("id"), "left_anti"))
-      val left = unreached.count()
-      progressing = left < remaining
-      remaining = left
-      round += 1
-    }
-    adjCur
+    if (remaining > 0)
+      println(s"[dist-build] WARNING: reachability repair exiting with " +
+        s"$remaining unreachable node(s) after $pass pass(es) — callers " +
+        s"should not assume full connectivity")
+    adjCur.select("src", "nbrs")
   }
 
   /** Bulk reverse-edge merge (G8 ProjectionAddReverse / G12
