@@ -35,12 +35,21 @@ object Bench {
     graft.ops.NearDup.minHashLsh(warmDocs).count()
     warmDocs.unpersist()
 
-    // ---- per-query wall times (the t2 surface) ----
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // ---- session-shared artifacts, billed as their own phase ----
+    // (PQ training/rotation/codes + exact GT are memoized per session and
+    // shared across the ANN family; timing them here keeps per-query
+    // walls attributable instead of landing on whichever family member
+    // the map happens to iterate first)
+    val tSetup = System.nanoTime()
+    graft.queries.QueriesAnn.materializeShared(spark, sfDir)
+    val sharedSetupSec = (System.nanoTime() - tSetup) / 1e9
+
+    // ---- per-query wall times (the t2 surface), deterministic order ----
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
 
     // ---- RoarGraph headline: build + L_pq sweep (BASELINE.md methodology) --
     val emb = graft.core.Tables.vectors(spark, sfDir)
@@ -119,11 +128,16 @@ object Bench {
     val sweepJson = sweep.map { case (l, qps, rec, lat, cmps, hops) =>
       f"""{"l_pq":$l,"qps":$qps%.1f,"recall_at_10":$rec%.4f,"mean_latency_ms":$lat%.3f,"avg_cmps":$cmps%.1f,"avg_hops":$hops%.1f}"""
     }.mkString("[", ",", "]")
-    val total = results.values.sum + buildSec + sweep.map(s => nQueries / s._2).sum
+    val total = sharedSetupSec + results.values.sum + buildSec +
+      sweep.map(s => nQueries / s._2).sum
+    // bsp_search reports search_sec ONLY — the one-time bucketed-layout
+    // write is its own field (bucket_save_sec) and is never summed into
+    // the search number
     val variants =
-      f"""{"bsp_search":{"sec":$bspSec%.3f,"recall_at_10":$bspRecall%.4f,"layout":"bucketed","bucket_save_sec":$saveSec%.3f},""" +
+      f"""{"bsp_search":{"search_sec":$bspSec%.3f,"recall_at_10":$bspRecall%.4f,"layout":"bucketed","bucket_save_sec":$saveSec%.3f},""" +
         f""""sharded_3":{"build_sec":$shBuildSec%.3f,"search_sec":$shSearchSec%.3f,"recall_at_10":$shRecall%.4f}}"""
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      f""""shared_setup_sec":$sharedSetupSec%.3f,""" +
       s""""roargraph":{"n_base":${index.n},"build_sec":$buildSec,"search_sweep":$sweepJson,"scale_variants":$variants},""" +
       s""""sf":"$sfDir"}"""
     println(json)

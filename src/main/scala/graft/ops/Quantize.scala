@@ -59,7 +59,13 @@ object Quantize {
   def pqTrain(vectors: DataFrame, m: Int, k: Int, iters: Int): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val dim = vectors.select(size(col("vec"))).head().getInt(0)
+    // one driver job fetches the k smallest ids WITH their vectors; dim
+    // and the per-subspace seed centroids derive from those rows on the
+    // driver (the previous dim-probe + id-collect + seed-filter trio cost
+    // three jobs for the same driver-small data)
+    val seedRows = vectors.select(col("id").cast("long"), col("vec"))
+      .orderBy("id").limit(k).as[(Long, Array[Float])].collect()
+    val dim = seedRows.head._2.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m
     val sv = (0 until m).map { s =>
@@ -67,14 +73,10 @@ object Quantize {
         slice(col("vec"), s * subDim + 1, subDim).as("vec"))
     }.reduce(_ unionByName _).cache()
 
-    val seedIds = vectors.select(col("id").cast("long")).orderBy("id")
-      .limit(k).as[Long].collect()
-    val seedIdx: Map[Long, Int] = seedIds.zipWithIndex.toMap
-    var cents: Map[(Int, Int), Array[Float]] = sv
-      .filter(col("id").isin(seedIds: _*))
-      .select(col("subspace"), col("id"), col("vec"))
-      .as[(Int, Long, Array[Float])].collect()
-      .map { case (s, id, v) => ((s, seedIdx(id)), v) }.toMap
+    var cents: Map[(Int, Int), Array[Float]] = seedRows.zipWithIndex.flatMap {
+      case ((_, v), c) =>
+        (0 until m).map(s => ((s, c), v.slice(s * subDim, (s + 1) * subDim)))
+    }.toMap
 
     var it = 0
     while (it < iters) {

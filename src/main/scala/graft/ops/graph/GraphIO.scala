@@ -163,14 +163,22 @@ object GraphIO {
     val buckets = metaDf.select(col("buckets").cast("int")).head().getInt(0)
     // validate the declared count against the physical files: bucketed
     // parquet names carry the bucket id as `_NNNNN` before the extension
-    val bucketId = "_(\\d{5})\\.".r
+    // bucket ids are zero-padded to >=5 digits but GROW with the count
+    // (Spark's %05d), so match any digit run — a >=100000-bucket layout
+    // must not slip past a fixed 5-digit pattern
+    val bucketId = "_(\\d{5,})\\.".r
     Seq("adjacency", "vectors").foreach { t =>
       val p = new org.apache.hadoop.fs.Path(loc(t))
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val maxSeen = fs.listStatus(p).iterator
+      val seen = fs.listStatus(p).iterator
         .map(_.getPath.getName).filter(_.endsWith(".parquet"))
         .flatMap(n => bucketId.findFirstMatchIn(n).map(_.group(1).toInt))
-        .foldLeft(-1)(math.max)
+        .toArray
+      require(seen.nonEmpty,
+        s"$db/$t carries no parseable bucket ids in its filenames — not a " +
+          "bucketed layout written by saveDistBucketed; refusing to attach " +
+          "with a bucket spec the files don't satisfy")
+      val maxSeen = seen.max
       require(maxSeen < buckets,
         s"$db/$t has bucket id $maxSeen >= declared bucket count $buckets — " +
           "the files were written with a different bucket spec")

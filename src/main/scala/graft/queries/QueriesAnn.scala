@@ -34,16 +34,15 @@ object QueriesAnn {
     * (VERDICT r4 #3: ann_pq_recall at 13.8 s, two exact passes). The
     * eager count() materializes the cache so every later reference is a
     * cache read, mirroring the memoized PQ training below. */
-  private val gtMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val gtMemo = new SessionMemo[DataFrame]
   private def exactGt(s: SparkSession, dir: String): DataFrame =
-    gtMemo.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ => {
+    gtMemo.getOrElseUpdate(s, dir) {
       val df = KnnJoin(qSide(s, dir), bSide(s, dir), K, Metric.L2)
         .select(col("query_id"), transform(col("knn"), _("id")).as("ids"))
         .cache()
       df.count()
       df
-    })
+    }
 
   private val l2SqlDist =
     "list_sum(list_transform(list_zip(qe, be), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
@@ -259,10 +258,9 @@ object QueriesAnn {
     * queries and the bench reuse them): rotation → permutation →
     * codebooks → codes. Returns (codebooks, codes over all base,
     * rotated+permuted queries). */
-  private val pqMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame, DataFrame)]()
+  private val pqMemo = new SessionMemo[(DataFrame, DataFrame, DataFrame)]
   private def pqArtifacts(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
-    pqMemo.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ => {
+    pqMemo.getOrElseUpdate(s, dir) {
       import graft.ops.Quantize
       val rotTrain = Quantize.opqRotate(pqTrainSet(s, dir), PqDim)
       val perm = Quantize.opqPermutation(rotTrain, PqDim, PqM)
@@ -273,10 +271,15 @@ object QueriesAnn {
         .cache()
       val qP = Quantize.permute(Quantize.opqRotate(qSide(s, dir), PqDim), perm).cache()
       val trainP = Quantize.permute(rotTrain, perm).cache()
+      // materialize the cached rotations EAGERLY: pqTrain/pqEncode scan
+      // them through an m-way subspace union, and racing tasks over a
+      // lazily-cached table each re-evaluate the Hadamard fold (the
+      // chain's dominant expression) instead of reading the cache
+      trainP.count(); bP.count()
       val cb = Quantize.pqTrain(trainP, PqM, PqK, PqIters).cache()
       val codes = Quantize.pqEncode(bP, cb, PqM).cache()
       (cb, codes, qP)
-    })
+    }
 
   /** Recall of OPQ-rotated PQ search WITH the refine stage vs exact kNN —
     * at 16× compression for the scan (16 code bytes vs 256 vector bytes),
@@ -413,6 +416,82 @@ object QueriesAnn {
        |FROM r ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---- 200-d PQ codes through the zero-padded OPQ path --------------------
+  // The reference's primary dataset is 200-d (prepare_data.sh:22-28); the
+  // padded-Hadamard path (opqRotate zero-pads 200 -> 256) was previously
+  // covered only by a ScalaTest recall gate. This query pins the ENTIRE
+  // padded chain (derive -> pad -> rotate -> permute -> train -> encode)
+  // with a hash-checked integer-code oracle (VERDICT r5 task 8).
+
+  private val Pq200SrcDim = 200
+  private val Pq200Pad = 256
+  private val Pq200M = 8 // 256-d padded -> 8 x 32-d subspaces
+  private val Pq200K = 16
+  private val Pq200TrainCap = 256
+
+  /** 200-d vectors derived deterministically from the 64-d embeddings:
+    * v200 = vec ++ (-vec) ++ (0.5f*vec) ++ vec[0:8]. Every piece is an
+    * EXACT float transform (negation and scaling by a power of two are
+    * rounding-free), so Spark and DuckDB compute bit-identical inputs. */
+  private def vec200(df: DataFrame): DataFrame =
+    df.select(col("id"), concat(
+      col("vec"),
+      transform(col("vec"), x => -x),
+      transform(col("vec"), x => x * lit(0.5f)),
+      slice(col("vec"), 1, 8)).as("vec"))
+
+  private def pq200CodesQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Quantize
+    val b200 = vec200(bSide(s, dir))
+    val train = graft.ops.graph.PlanUtil.cutDF(
+      b200.orderBy("id").limit(Pq200TrainCap)).repartition(col("id"))
+    val rotTrain = Quantize.opqRotate(train, Pq200SrcDim)
+    val perm = Quantize.opqPermutation(rotTrain, Pq200Pad, Pq200M)
+    val trainP = Quantize.permute(rotTrain, perm).cache()
+    trainP.count() // materialize before the m-way subspace union re-scans
+    val bP = Quantize.permute(Quantize.opqRotate(b200, Pq200SrcDim), perm)
+      .cache()
+    bP.count()
+    val cb = Quantize.pqTrain(trainP, Pq200M, Pq200K, iters = 1)
+    Quantize.pqEncode(bP, cb, Pq200M).orderBy("id")
+  }
+
+  private val pq200CodesOracle = {
+    val sub = Pq200Pad / Pq200M
+    val rotBody = s"CAST(list_sum(list_transform(list_zip(ve, hl), p -> CAST(p[1] AS DOUBLE) * p[2])) * ${1.0 / math.sqrt(Pq200Pad.toDouble)} AS FLOAT)"
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      "raw0 AS (SELECT vec_id AS bid, embedding AS v FROM embeddings WHERE vec_id >= 20)",
+      // v200 = v ++ (-v) ++ (0.5*v) ++ v[1:8], then zero-pad to 256
+      "r200 AS (SELECT bid, list_concat(list_concat(list_concat(v, list_transform(v, x -> -x)), list_transform(v, x -> CAST(x * 0.5 AS FLOAT))), v[1:8]) AS v FROM raw0)",
+      s"padded AS (SELECT bid, list_concat(v, list_transform(generate_series(1, ${Pq200Pad - Pq200SrcDim}), i -> CAST(0 AS FLOAT))) AS ve FROM r200)",
+      s"hmat AS (SELECT i, list(hs ORDER BY j) AS hl FROM (SELECT i.range AS i, j.range AS j, (CASE WHEN bit_count(CAST(i.range AS BIGINT) & CAST(j.range AS BIGINT)) % 2 = 0 THEN 1.0 ELSE -1.0 END) * (CASE WHEN bit_count((CAST(j.range AS BIGINT) * 2654435761) & 65535) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS hs FROM range($Pq200Pad) i, range($Pq200Pad) j) GROUP BY i)",
+      s"rb AS (SELECT bid, list(y ORDER BY i) AS rvec FROM (SELECT bid, i, $rotBody AS y FROM padded, hmat) GROUP BY bid)",
+      s"rtrain AS (SELECT bid, rvec FROM rb ORDER BY bid LIMIT $Pq200TrainCap)",
+      "pvar AS (SELECT pos - 1 AS pos, round(var_samp(CAST(x AS DOUBLE)), 6) AS v FROM (SELECT generate_subscripts(rvec, 1) AS pos, unnest(rvec) AS x FROM rtrain) GROUP BY pos)",
+      "prank AS (SELECT pos, CAST(row_number() OVER (ORDER BY v DESC, pos) - 1 AS INT) AS r FROM pvar)",
+      s"perm AS (SELECT pos AS oldpos, (CASE WHEN (r // $Pq200M) % 2 = 0 THEN r % $Pq200M ELSE ${Pq200M - 1} - (r % $Pq200M) END) * $sub + (r // $Pq200M) AS newpos FROM prank)",
+      "b AS (SELECT bid, list(rvec[oldpos + 1] ORDER BY newpos) AS be FROM rb, perm GROUP BY bid)",
+      s"btrain AS (SELECT bid, be FROM b ORDER BY bid LIMIT $Pq200TrainCap)")
+    (0 until Pq200M).foreach { s =>
+      val (lo, hi) = (s * sub + 1, (s + 1) * sub)
+      ctes += s"bs$s AS (SELECT bid, be[$lo:$hi] AS sv FROM b)"
+      ctes += s"ts$s AS (SELECT bid, be[$lo:$hi] AS sv FROM btrain)"
+      ctes += s"c${s}_0 AS (SELECT CAST(row_number() OVER (ORDER BY bid) - 1 AS INT) AS cid, sv AS ce FROM (SELECT bid, sv FROM ts$s ORDER BY bid LIMIT $Pq200K))"
+      val d = pqL2("sv", "ce")
+      ctes += s"a${s}_1 AS (SELECT bid, sv, cid, row_number() OVER (PARTITION BY bid ORDER BY $d, cid) AS rnk FROM ts$s, c${s}_0 QUALIFY rnk = 1)"
+      ctes += s"e${s}_1 AS (SELECT cid, generate_subscripts(sv, 1) AS pos, CAST(unnest(sv) AS DOUBLE) AS x FROM a${s}_1)"
+      ctes += s"m${s}_1 AS (SELECT cid, pos, CAST(avg(x) AS FLOAT) AS mf FROM e${s}_1 GROUP BY cid, pos)"
+      ctes += s"u${s}_1 AS (SELECT cid, list(mf ORDER BY pos) AS ce FROM m${s}_1 GROUP BY cid)"
+      ctes += s"c${s}_1 AS (SELECT p.cid, coalesce(u${s}_1.ce, p.ce) AS ce FROM c${s}_0 p LEFT JOIN u${s}_1 USING (cid))"
+      ctes += s"code$s AS (SELECT bid, cid AS code, row_number() OVER (PARTITION BY bid ORDER BY $d, cid) AS rnk FROM bs$s, c${s}_1 QUALIFY rnk = 1)"
+    }
+    val codeJoins = (1 until Pq200M).map(s => s"JOIN code$s USING (bid)").mkString(" ")
+    ctes += s"allcodes AS (SELECT code0.bid AS bid, ${(0 until Pq200M).map(s => s"code$s.code AS k$s").mkString(", ")} FROM code0 $codeJoins)"
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT bid AS id, [${(0 until Pq200M).map(s => s"k$s").mkString(", ")}] AS codes
+       |FROM allcodes ORDER BY id""".stripMargin
+  }
+
   // ---- IVF+PQ: coarse-pruned byte-domain scan + exact refine --------------
 
   /** Refine budget for the IVF+PQ composite: the probed lists hold ~
@@ -477,6 +556,20 @@ object QueriesAnn {
        |FROM ap ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Bench hook: materialize the session-shared artifacts (PQ rotation/
+    * codebooks/codes and the exact-kNN ground truth) so the bench's
+    * per-query walls measure each query's own work — the one-time shared
+    * cost is timed and reported as its own bench field instead of landing
+    * on whichever family member happens to run first (VERDICT r5 #3: the
+    * PQ chain's shared setup made ann_pq_recall the slowest entry two
+    * rounds running while its siblings read the memo for free). */
+  private[graft] def materializeShared(s: SparkSession, dir: String): Unit = {
+    val (cb, codes, qP) = pqArtifacts(s, dir)
+    cb.count(); codes.count(); qP.count()
+    exactGt(s, dir)
+    ()
+  }
+
   // ---- registry -----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -487,6 +580,7 @@ object QueriesAnn {
     "ann_sq8_recall" -> (sq8RecallQuery _),
     "ann_pq_recall" -> (pqRecallQuery _),
     "ann_pq_adc_topk" -> (pqAdcQuery _),
+    "ann_pq200_codes" -> (pq200CodesQuery _),
     "ann_ivfpq_topk" -> (ivfPqQuery _),
   )
 
@@ -498,6 +592,7 @@ object QueriesAnn {
     "ann_sq8_recall" -> sq8RecallOracle,
     "ann_pq_recall" -> pqRecallOracle,
     "ann_pq_adc_topk" -> pqAdcOracle,
+    "ann_pq200_codes" -> pq200CodesOracle,
     "ann_ivfpq_topk" -> ivfPqOracle,
   )
 }

@@ -114,8 +114,19 @@ object StreamingAnn {
                           params: BuildParams, st: RebuildState): Unit = {
     var next = st.pending.getAndSet(-1L)
     while (next >= 0) {
-      try rebuild(spark, dir, params, next)
-      catch { case t: Throwable => st.lastError = Some(t) }
+      // NonFatal only: OOM/InterruptedException must propagate, not be
+      // absorbed into a drain loop that keeps going. A success clears any
+      // earlier recorded failure so awaitRebuilds never throws a stale
+      // historical error after the index has caught up.
+      try {
+        rebuild(spark, dir, params, next)
+        st.lastError = None
+      } catch {
+        case scala.util.control.NonFatal(t) =>
+          println(s"[streaming-ann] WARNING: background rebuild for $dir " +
+            s"at watermark $next failed: $t")
+          st.lastError = Some(t)
+      }
       next = st.pending.getAndSet(-1L)
     }
     st.busy.set(false)
