@@ -278,25 +278,22 @@ object Quantize {
       return opqRotate(padded, padDim)
     }
     val scale = 1.0 / math.sqrt(dim.toDouble)
-    // the ±1 matrix entries are data-independent — materialize them as a
-    // literal so the per-element work in the scan is one multiply+add
-    // (evaluating bit_count/CASE 4096× per row costs ~10× more); the
-    // float result is identical (term h*x, left-fold sum, scale, cast)
-    val mat: Seq[Seq[Double]] = (0 until dim).map { i =>
-      (0 until dim).map { j =>
-        val h = if (java.lang.Integer.bitCount(i & j) % 2 == 0) 1.0 else -1.0
-        val s = if (java.lang.Long.bitCount((j.toLong * 2654435761L) & 0xffffL) % 2 == 0) 1.0 else -1.0
-        h * s
-      }
+    // the ±1 matrix entries are data-independent — bake them into a
+    // codegen'd mat-vec expression (one fused nested loop per row). The
+    // HOF formulation (transform/aggregate/zip_with over a matrix
+    // literal) is CodegenFallback: d interpreted lambda trees and d
+    // intermediate arrays PER ROW, which dominated the 256-d padded
+    // chain. Float results are identical (term M_ij*x_j, left-fold sum,
+    // scale, cast — see MatVecRotate's scaladoc).
+    val mat: IndexedSeq[Double] = for {
+      i <- 0 until dim; j <- 0 until dim
+    } yield {
+      val h = if (java.lang.Integer.bitCount(i & j) % 2 == 0) 1.0 else -1.0
+      val s = if (java.lang.Long.bitCount((j.toLong * 2654435761L) & 0xffffL) % 2 == 0) 1.0 else -1.0
+      h * s
     }
-    val matLit = typedLit(mat)
-    val rot = transform(sequence(lit(0), lit(dim - 1)), i =>
-      (aggregate(
-        zip_with(element_at(matLit, i + 1), col("vec"),
-          (h, x) => h * x.cast("double")),
-        lit(0.0), (acc, t) => acc + t)
-        * lit(scale)).cast("float"))
-    vectors.select(col("id"), rot.as("vec"))
+    vectors.select(col("id"),
+      graft.functions.MatVecRotate.rotate(col("vec"), mat, dim, scale).as("vec"))
   }
 
   /** Variance-balancing snake permutation over a (rotated) training set:

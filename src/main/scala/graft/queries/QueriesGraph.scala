@@ -175,6 +175,22 @@ object QueriesGraph {
       .select(col("query_id"), col("ids"))
   }
 
+  /** Bench hook (same contract as QueriesAnn.materializeShared): force
+    * the session-shared distributed index build — incl. the default-ON
+    * reachability repair — so the bench's roargraph_dist_recall wall
+    * measures search + recall, and the one-time build cost lands in the
+    * timed shared_setup_sec field instead. Correctness consumers (Verify,
+    * GraphGoldenSpec) are unaffected: the memo hands them the same graph. */
+  private[graft] def materializeShared(s: SparkSession, dir: String): Unit = {
+    val dist = distMemo.getOrElseUpdate(s, dir) {
+      val di = graft.build.DistRoarGraphBuilder.build(
+        bSide(s, dir), qSide(s, dir), buildParams, frontierWidth = 16)
+      di.copy(adj = di.adj.cache())
+    }
+    dist.adj.count()
+    ()
+  }
+
   private def roargraphDistRecall(s: SparkSession, dir: String): DataFrame = {
     val res = roargraphDistSearchIds(s, dir)
     val gt = KnnJoin(qSide(s, dir), bSide(s, dir), 10, Metric.L2)

@@ -74,4 +74,45 @@ class NativeExpressionSpec extends SparkSpec {
     val d = e.nullSafeEval(x, y).asInstanceOf[Double]
     assert(math.abs(d - (0.25 + 4.0 + 16.0)) < 1e-12)
   }
+
+  test("native mat-rotate matches the HOF formulation bit-exactly and stays codegen'd") {
+    // the HOF form MatVecRotate replaced (Quantize.opqRotate pre-r6):
+    // per output dim, zip_with(matRow, vec) termwise h * (double)x, then
+    // a left-fold sum from 0.0, * scale, cast float
+    val dim = 64
+    val scale = 1.0 / math.sqrt(dim.toDouble)
+    val mat: IndexedSeq[Double] = for { i <- 0 until dim; j <- 0 until dim }
+      yield {
+        val h = if (java.lang.Integer.bitCount(i & j) % 2 == 0) 1.0 else -1.0
+        val s = if (java.lang.Long.bitCount((j.toLong * 2654435761L) & 0xffffL) % 2 == 0) 1.0 else -1.0
+        h * s
+      }
+    val matLit = typedLit((0 until dim).map(i => (0 until dim).map(j => mat(i * dim + j))))
+    val hof = transform(sequence(lit(0), lit(dim - 1)), i =>
+      (aggregate(
+        zip_with(element_at(matLit, i + 1), col("vec"),
+          (h, x) => h * x.cast("double")),
+        lit(0.0), (acc, t) => acc + t)
+        * lit(scale)).cast("float"))
+    val df = Tables.vectors(spark, sf0001).select(
+      graft.functions.MatVecRotate.rotate(col("vec"), mat, dim, scale).as("n"),
+      hof.as("h"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getSeq[Float](0)
+      val h = r.getSeq[Float](1)
+      assert(n == h, s"rotate mismatch: $n vs $h")
+    }
+    // plan check on a native-only projection: the HOF comparison column
+    // above is CodegenFallback and would push the whole Project out of
+    // codegen regardless of the native expression
+    val dfN = Tables.vectors(spark, sf0001).select(
+      graft.functions.MatVecRotate.rotate(col("vec"), mat, dim, scale).as("n"))
+    dfN.collect()
+    val plan = dfN.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("graft_mat_rotate") && l.contains("*(")),
+      s"mat-rotate not inside a codegen stage:\n$plan")
+  }
 }
