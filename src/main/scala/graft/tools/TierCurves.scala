@@ -60,6 +60,10 @@ object TierCurves {
 
     graft.ops.graph.GraphIO.attachDistBucketed(db)
     val (di, bVecs) = graft.ops.graph.GraphIO.loadDistBucketed(db)
+    // eval queries are REGENERATED from generator params (queries are not
+    // part of the persisted corpus), but GT is always scored against the
+    // PERSISTED vectors — so a generation-parameter mismatch shifts the
+    // query workload yet can never silently score against the wrong base
     val eval = ScaleSoak.corpus(spark, evalQ, seed = 0xE7A1L,
       idOffset = 10_000_000L, dim = dim, centers = centers, noise = noise)
       .cache()
