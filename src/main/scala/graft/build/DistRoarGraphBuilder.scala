@@ -172,14 +172,15 @@ object DistRoarGraphBuilder {
         (pivot, OcclusionPrune.pruneVecs(
           cands.map(c => (c.id, c.dist, c.vec)), pivot, m, scoreMetric))
       }.toDF("src", "nbrs")
-    val fwdListsCut = graft.ops.graph.PlanUtil.cutDF(fwdLists)
+    val (fwdListsCut, relFwdLists) = graft.ops.graph.PlanUtil.cutDFReleasable(fwdLists)
     lap("phase1-forward")
 
     // ---- phase 1b/1c (G8/G5): reverse sweep + overflow re-prune ----
-    val projection = graft.ops.graph.PlanUtil.cutDF(
+    val (projection, relProjection) = graft.ops.graph.PlanUtil.cutDFReleasable(
       mergeReversePhase(fwdListsCut, baseN, scoreMetric,
         appendCap = m, pruneTo = m, backfill = true, capRev = 2 * m,
         finalCap = None))
+    relFwdLists() // projection is materialized; phase-1 forward lists are dead
     lap("phase1-reverse")
 
     // ---- phase 2 (G6, :1183-1276): BSP self-search over the frozen
@@ -195,12 +196,13 @@ object DistRoarGraphBuilder {
     // peak spill is one slice's rounds, not the whole corpus's. This is
     // the knob that bounds scratch-disk per executor at fixed cluster
     // size; batched == unbatched is spec-gated (DistRoarGraphSpec).
+    val p2Scope = new graft.ops.graph.CpScope
     val selfSearch =
       if (selfSearchBatches <= 1)
         BspBeamSearch.search(
           projection, baseN, baseN, k = params.lPjpq, l = params.lPjpq,
           ep, scoreMetric, frontierWidth, maxRounds, excludeSelf = true,
-          extraSeeds = p2Seeds)
+          extraSeeds = p2Seeds, scope = p2Scope)
       else
         (0 until selfSearchBatches).map { b =>
           BspBeamSearch.search(
@@ -209,7 +211,7 @@ object DistRoarGraphBuilder {
               pmod(xxhash64(col("id")), lit(selfSearchBatches)) === lit(b)),
             k = params.lPjpq, l = params.lPjpq,
             ep, scoreMetric, frontierWidth, maxRounds, excludeSelf = true,
-            extraSeeds = p2Seeds)
+            extraSeeds = p2Seeds, scope = p2Scope)
         }.reduce(_.unionByName(_))
     val supplyFwd = selfSearch
       .select(col("query_id").as("src"),
@@ -226,7 +228,8 @@ object DistRoarGraphBuilder {
           pool.map(t => (t._2, t._1, t._3)).toArray, src, m, scoreMetric,
           backfill = false))
       }.toDF("src", "nbrs")
-    val supplyFwdCut = graft.ops.graph.PlanUtil.cutDF(supplyFwd)
+    val (supplyFwdCut, relSupplyFwd) = graft.ops.graph.PlanUtil.cutDFReleasable(supplyFwd)
+    p2Scope.releaseAll() // supply pools are cut; batch final-round states are dead
     lap("phase2-selfsearch")
 
     // ---- supply reverse (G12 cap 2m) + overflow prune to m (G11), then
@@ -242,12 +245,15 @@ object DistRoarGraphBuilder {
         concat(col("nbrs"),
           slice(filter(coalesce(col("snbrs"), array().cast("array<bigint>")),
             x => !array_contains(col("nbrs"), x)), 1, 2 * m)).as("nbrs"))
-    val adjCut = graft.ops.graph.PlanUtil.cutDF(adj)
+    val (adjCut, relAdjCut) = graft.ops.graph.PlanUtil.cutDFReleasable(adj)
+    relSupplyFwd()  // merged adjacency is cut; supply pools and the
+    relProjection() // phase-1 projection are both dead
     lap("phase2-supply-merge")
 
     val repaired =
       if (repairReachability) {
         val r = repair(adjCut, baseN, ep, scoreMetric, m, frontierWidth, maxRounds)
+        relAdjCut() // repair's internal state is self-contained cuts
         lap("repair")
         r
       } else adjCut
@@ -275,11 +281,14 @@ object DistRoarGraphBuilder {
     * the per-job launch latency, not the shuffled bytes, dominated the
     * per-level variant (VERDICT r5 #2: 19 s of pure job latency on an
     * 1,800-node graph). */
-  private def bfsReached(adj: DataFrame, ep: Long): DataFrame = {
+  private def bfsReached(adj: DataFrame, ep: Long,
+                         scope: graft.ops.graph.CpScope): DataFrame = {
     val spark = adj.sparkSession
     import spark.implicits._
-    var reached = graft.ops.graph.PlanUtil.cutDF(Seq(ep).toDF("id"))
+    val cut = graft.ops.graph.PlanUtil.cutDFReleasable(_: DataFrame)
+    var (reached, relReached) = cut(Seq(ep).toDF("id"))
     var frontier = reached
+    var relFrontier: () => Unit = () => () // initially aliases `reached`
     var level = 0
     var grew = true
     while (grew && level < BfsMaxRounds) {
@@ -290,15 +299,21 @@ object DistRoarGraphBuilder {
           .join(reached, Seq("id"), "left_anti")
         cur
       }
-      val next = graft.ops.graph.PlanUtil.cutDF(
-        hops.reduce(_.unionByName(_)).distinct())
+      val (next, relNext) = cut(hops.reduce(_.unionByName(_)).distinct())
+      relFrontier() // next is materialized; the prior frontier is dead
       grew = next.limit(1).count() > 0
       if (grew) {
-        reached = graft.ops.graph.PlanUtil.cutDF(reached.unionByName(next))
+        val (r2, relR2) = cut(reached.unionByName(next))
+        relReached() // the widened set is cut; the prior one is dead
+        reached = r2
+        relReached = relR2
         frontier = next
-      }
+        relFrontier = relNext
+      } else relNext()
       level += BfsHopsPerBatch
     }
+    relFrontier()
+    scope.add(relReached) // final set released by the caller post-consumption
     reached
   }
 
@@ -316,7 +331,7 @@ object DistRoarGraphBuilder {
     import spark.implicits._
     val cap = 3 * m
 
-    var adjCur = graft.ops.graph.PlanUtil.cutDF(
+    var (adjCur, relAdjCur) = graft.ops.graph.PlanUtil.cutDFReleasable(
       adj0.select(col("src"), col("nbrs"), size(col("nbrs")).as("origCnt")))
     var remaining = 0L
     var pass = 0
@@ -325,10 +340,12 @@ object DistRoarGraphBuilder {
       // BFS is re-run per pass: pass 0 discovers the unreached set, later
       // passes VERIFY the post-trim graph (trims can in principle orphan
       // a node whose only in-path ran through the trimmed edge)
-      val reached = bfsReached(adjCur.select("src", "nbrs"), ep)
-      var unreached = graft.ops.graph.PlanUtil.cutDF(
+      val bfsScope = new graft.ops.graph.CpScope
+      val reached = bfsReached(adjCur.select("src", "nbrs"), ep, bfsScope)
+      var (unreached, relUnreached) = graft.ops.graph.PlanUtil.cutDFReleasable(
         baseN.select(col("id"), col("vec"))
           .join(reached, Seq("id"), "left_anti"))
+      bfsScope.releaseAll() // unreached is cut; the BFS reached-set is dead
       remaining = unreached.count()
       if (remaining == 0) done = true
       else {
@@ -344,10 +361,11 @@ object DistRoarGraphBuilder {
           // reached (incl. nodes attached in previous rounds — that is
           // what drains islands: once boundary members attach, the next
           // round's beams walk through them into the island interior)
+          val roundScope = new graft.ops.graph.CpScope
           val hits = BspBeamSearch.search(
             adjCur.select("src", "nbrs"), baseN, unreached, k = RepairC,
             l = math.max(16, 4 * RepairC), ep, metric,
-            frontierWidth, maxRounds, excludeSelf = true)
+            frontierWidth, maxRounds, excludeSelf = true, scope = roundScope)
           // bounded per-source absorption, (dist, id)-deterministic. A
           // source normally absorbs only into its free degree room; in a
           // trim round (previous round stalled on saturated sources) the
@@ -369,7 +387,7 @@ object DistRoarGraphBuilder {
               col("origCnt")), "src")
             .select(col("src"), slice(col("adds"), lit(1), allowance).as("adds"))
             .filter(size(col("adds")) > 0)
-          val attached = graft.ops.graph.PlanUtil.cutDF(
+          val (attached, relAttached) = graft.ops.graph.PlanUtil.cutDFReleasable(
             kept.select(explode(col("adds")("id")).as("id")).distinct())
           val merged = adjCur
             .join(kept.select(col("src"), col("adds")), Seq("src"), "left")
@@ -388,9 +406,21 @@ object DistRoarGraphBuilder {
                 (src, kept2 ++ adds.take(math.max(room, 0) + t), origCnt - t)
               }
             }.toDF("src", "nbrs", "origCnt")
-          adjCur = graft.ops.graph.PlanUtil.cutDF(merged)
-          unreached = graft.ops.graph.PlanUtil.cutDF(
-            unreached.join(attached, Seq("id"), "left_anti"))
+          locally { // cut the merged adjacency, then free the prior round's
+            val (a2, relA2) = graft.ops.graph.PlanUtil.cutDFReleasable(merged)
+            relAdjCur()
+            adjCur = a2
+            relAdjCur = relA2
+          }
+          locally {
+            val (u2, relU2) = graft.ops.graph.PlanUtil.cutDFReleasable(
+              unreached.join(attached, Seq("id"), "left_anti"))
+            relUnreached()
+            unreached = u2
+            relUnreached = relU2
+          }
+          roundScope.releaseAll() // beam states are dead: both consumers cut
+          relAttached()
           val left = unreached.count()
           // a trim round that attached anything may have trimmed (only
           // saturated sources trim; a stalled round changed nothing)
@@ -411,6 +441,7 @@ object DistRoarGraphBuilder {
             (remaining == 0 || exhausted || remaining == passStart))
           done = true
       }
+      relUnreached() // pass is over; only the scalar `remaining` survives
       pass += 1
     }
     if (remaining > 0)

@@ -63,7 +63,8 @@ object BspBeamSearch {
              k: Int, l: Int, ep: Long, metric: Metric,
              frontierWidth: Int = 4, maxRounds: Int = 64,
              excludeSelf: Boolean = false,
-             extraSeeds: Seq[Long] = Nil): DataFrame = {
+             extraSeeds: Seq[Long] = Nil,
+             scope: CpScope = null): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
     require(!metric.needNormalize,
@@ -101,7 +102,17 @@ object BspBeamSearch {
         }.sortBy(e => (e.dist, e.id)).take(l)
         (qid, qv, pool)
       }
-    state = PlanUtil.cut(state)
+    // Rolling checkpoint: round N's cut is the only live reader of round
+    // N-1's blocks, so once N materializes (cut is eager) N-1 is freed —
+    // heap holds ONE round of state, not O(rounds). The final round's
+    // release goes to `scope` (the caller frees it after consuming the
+    // returned DF) or is leaked session-lifetime when no scope is given.
+    var releasePrev: () => Unit = () => ()
+    locally {
+      val (s0, rel0) = PlanUtil.cutReleasable(state)
+      state = s0
+      releasePrev = rel0
+    }
 
     var round = 0
     var done = false
@@ -147,11 +158,17 @@ object BspBeamSearch {
             (qid, qv, merged)
           }
         }
-      state = PlanUtil.cut(state) // materialize + cut lineage AND stats per round
+      locally { // materialize + cut lineage AND stats, then free round N-1
+        val (sN, relN) = PlanUtil.cutReleasable(state)
+        state = sN
+        releasePrev()
+        releasePrev = relN
+      }
 
       done = unexpandedAcc.value == 0
       round += 1
     }
+    if (scope ne null) scope.add(releasePrev)
 
     state.map { case (qid, _, pool) =>
       val top = (if (excludeSelf) pool.filter(_.id != qid) else pool).take(k)

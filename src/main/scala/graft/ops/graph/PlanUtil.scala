@@ -32,15 +32,53 @@ private[graft] object PlanUtil {
       ds.checkpoint()
     else ds.localCheckpoint()
 
-  /** Materialize (eager checkpoint) + cut lineage AND statistics. */
-  def cut[T](ds: Dataset[T]): Dataset[T] = {
+  /** The block-holding ancestor of a cut's RDD (the internal RDD that
+    * `localCheckpoint` marked persistent). Reliable checkpoints hold no
+    * blocks (data lives in files), so this returns None there. */
+  private def persistedAncestor(r: org.apache.spark.rdd.RDD[_])
+      : Option[org.apache.spark.rdd.RDD[_]] =
+    if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE) Some(r)
+    else r.dependencies.view.flatMap(d => persistedAncestor(d.rdd)).headOption
+
+  /** Materialize + cut, returning a release thunk that frees the cut's
+    * checkpoint blocks. Iterative loops MUST call the release of round
+    * N-1 after round N's cut materializes — localCheckpoint blocks are
+    * otherwise pinned for the session lifetime, and a build with
+    * thousands of rounds (BSP self-search batches × rounds, repair
+    * passes) accumulates them until a capped heap dies (observed: the 1M
+    * (48,64) soak OOM at 4 GiB ~30 min in). Releasing a cut whose
+    * Dataset is still referenced makes that Dataset unrecomputable —
+    * release only when every reader has itself been materialized. */
+  def cutReleasable[T](ds: Dataset[T]): (Dataset[T], () => Unit) = {
     val cp = checkpointed(ds)
-    cp.sparkSession.createDataset(cp.rdd)(ds.encoder)
+    val rdd = cp.rdd
+    val persisted = persistedAncestor(rdd)
+    (cp.sparkSession.createDataset(rdd)(ds.encoder),
+      () => persisted.foreach(_.unpersist(blocking = false)))
   }
 
-  /** DataFrame variant (Row encoder via createDataFrame). */
-  def cutDF(df: DataFrame): DataFrame = {
+  /** DataFrame variant of [[cutReleasable]]. */
+  def cutDFReleasable(df: DataFrame): (DataFrame, () => Unit) = {
     val cp = checkpointed(df)
-    cp.sparkSession.createDataFrame(cp.rdd, df.schema)
+    val rdd = cp.rdd
+    val persisted = persistedAncestor(rdd)
+    (cp.sparkSession.createDataFrame(rdd, df.schema),
+      () => persisted.foreach(_.unpersist(blocking = false)))
   }
+
+  /** Materialize (eager checkpoint) + cut lineage AND statistics. */
+  def cut[T](ds: Dataset[T]): Dataset[T] = cutReleasable(ds)._1
+
+  /** DataFrame variant (Row encoder via createDataFrame). */
+  def cutDF(df: DataFrame): DataFrame = cutDFReleasable(df)._1
+}
+
+/** Collects the release thunks of cuts made inside a bounded phase so the
+  * caller can free them in one shot once every downstream consumer has
+  * materialized (e.g. BSP final-round states after the supply aggregation
+  * over them is itself cut). */
+private[graft] final class CpScope {
+  private val handles = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+  def add(h: () => Unit): Unit = synchronized { handles += h }
+  def releaseAll(): Unit = synchronized { handles.foreach(_()); handles.clear() }
 }
