@@ -33,9 +33,11 @@ object QueriesAnn {
     * verify cost was dominated by recomputing it inside each query's plan
     * (VERDICT r4 #3: ann_pq_recall at 13.8 s, two exact passes). The
     * eager count() materializes the cache so every later reference is a
-    * cache read, mirroring the memoized PQ training below. */
+    * cache read, mirroring the memoized PQ training below. QueriesGraph's
+    * recall queries share the same (query, base) split and k, so they
+    * read this memo too instead of re-running the exact join. */
   private val gtMemo = new SessionMemo[DataFrame]
-  private def exactGt(s: SparkSession, dir: String): DataFrame =
+  private[graft] def exactGt(s: SparkSession, dir: String): DataFrame =
     gtMemo.getOrElseUpdate(s, dir) {
       val df = KnnJoin(qSide(s, dir), bSide(s, dir), K, Metric.L2)
         .select(col("query_id"), transform(col("knn"), _("id")).as("ids"))

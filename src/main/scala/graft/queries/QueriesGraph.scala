@@ -103,8 +103,8 @@ object QueriesGraph {
 
   private def bipartiteSearchRecall(s: SparkSession, dir: String): DataFrame = {
     val res = bipartiteSearchIds(s, dir)
-    val gt = KnnJoin(qSide(s, dir), bSide(s, dir), 10, Metric.L2)
-      .select(col("query_id"), transform(col("knn"), _("id")).as("ids"))
+    // same (q, b) split and k as QueriesAnn's memoized exact GT — reuse it
+    val gt = QueriesAnn.exactGt(s, dir)
     Eval.recallAtK(res, gt, 10)
       .select(round(col("recall_at_k"), 6).as("recall_at_k"), col("n_queries"))
   }
@@ -193,8 +193,7 @@ object QueriesGraph {
 
   private def roargraphDistRecall(s: SparkSession, dir: String): DataFrame = {
     val res = roargraphDistSearchIds(s, dir)
-    val gt = KnnJoin(qSide(s, dir), bSide(s, dir), 10, Metric.L2)
-      .select(col("query_id"), transform(col("knn"), _("id")).as("ids"))
+    val gt = QueriesAnn.exactGt(s, dir)
     Eval.recallAtK(res, gt, 10)
       .select(round(col("recall_at_k"), 6).as("recall_at_k"), col("n_queries"))
   }
