@@ -46,10 +46,21 @@ object Bench {
     val sharedSetupSec = (System.nanoTime() - tSetup) / 1e9
 
     // ---- per-query wall times (the t2 surface), deterministic order ----
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // A query that throws is recorded BY NAME in `failed` (and its timing
+    // dropped) — a −1 sentinel looked like a fast query in cross-round
+    // diffs and let a red row hide (VERDICT r6 #3).
+    val failed = collection.mutable.ArrayBuffer.empty[String]
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        Some(name -> (System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] query $name FAILED: ${e.getMessage}")
+          failed += name
+          None
+      }
     }.toMap
 
     // ---- RoarGraph headline: build + L_pq sweep (BASELINE.md methodology) --
@@ -68,7 +79,10 @@ object Bench {
     gt.count()
     val nQueries = queries.count()
 
-    val sweep = Seq(10, 20, 50, 100, 200).map { lPq =>
+    // Denser sweep (VERDICT r6 task 7): the reference sweeps 57 L_pq points
+    // (run_roargraph_search_test.sh:13); 12 points cover the same
+    // 10..300 range at bench cost ~7 s
+    val sweep = Seq(10, 20, 30, 40, 50, 60, 80, 100, 125, 150, 200, 300).map { lPq =>
       val t0 = System.nanoTime()
       val res = RoarGraphBuilder.searchBatch(index, queries,
         SearchParams(k = 10, lPq = lPq, metric = Metric.L2)).cache()
@@ -137,7 +151,9 @@ object Bench {
     val variants =
       f"""{"bsp_search":{"search_sec":$bspSec%.3f,"recall_at_10":$bspRecall%.4f,"layout":"bucketed","bucket_save_sec":$saveSec%.3f},""" +
         f""""sharded_3":{"build_sec":$shBuildSec%.3f,"search_sec":$shSearchSec%.3f,"recall_at_10":$shRecall%.4f}}"""
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""failed_queries":$failedJson,""" +
       f""""shared_setup_sec":$sharedSetupSec%.3f,""" +
       s""""roargraph":{"n_base":${index.n},"build_sec":$buildSec,"search_sweep":$sweepJson,"scale_variants":$variants},""" +
       s""""sf":"$sfDir"}"""

@@ -293,6 +293,18 @@ object DistRoarGraphBuilder {
     var grew = true
     while (grew && level < BfsMaxRounds) {
       var cur = frontier
+      // Each hop anti-joins the BATCH-START reached set only. A node
+      // discovered at hop h therefore re-expands at later hops in the same
+      // batch (≤ BfsHopsPerBatch-fold duplicate explode volume in dense
+      // regions — ADVICE r6). The prescribed fix — also anti-joining a lazy
+      // union of the prior hops' frontiers — was implemented and MEASURED
+      // 10×+ slower suite-wide: cur_h then embeds cur_h-1 twice (as input
+      // and inside the seen-union), the logical plan grows ~2^hops per
+      // batch, and the duplicated subtrees are re-executed (exchange reuse
+      // does not reliably collapse them under AQE), so DistRoarGraphSpec
+      // alone went from seconds to >10 min. Bounded intra-batch
+      // re-expansion is the cheaper side of the trade at every scale we
+      // measured; the final distinct() keeps the reached set exact.
       val hops = (0 until BfsHopsPerBatch).map { _ =>
         cur = cur.join(adj, cur("id") === adj("src"))
           .select(explode(col("nbrs")).as("id")).distinct()
@@ -336,6 +348,7 @@ object DistRoarGraphBuilder {
     var remaining = 0L
     var pass = 0
     var done = false
+    var unverifiedTrim = false
     while (!done && pass < RepairMaxPasses) {
       // BFS is re-run per pass: pass 0 discovers the unreached set, later
       // passes VERIFY the post-trim graph (trims can in principle orphan
@@ -440,9 +453,22 @@ object DistRoarGraphBuilder {
         if (!trimmedThisPass &&
             (remaining == 0 || exhausted || remaining == passStart))
           done = true
+        unverifiedTrim = trimmedThisPass
       }
       relUnreached() // pass is over; only the scalar `remaining` survives
       pass += 1
+    }
+    // The loop can exit on the pass bound with the FINAL pass's trim never
+    // re-verified (done still false, remaining possibly 0) — a trim could
+    // have orphaned a node whose only in-path ran through the trimmed edge,
+    // and with remaining == 0 the WARNING below could not fire. Run one
+    // verification-only BFS in that case so the exit report is honest.
+    if (!done && unverifiedTrim) {
+      val vScope = new graft.ops.graph.CpScope
+      val reached = bfsReached(adjCur.select("src", "nbrs"), ep, vScope)
+      remaining = baseN.select(col("id"))
+        .join(reached, Seq("id"), "left_anti").count()
+      vScope.releaseAll()
     }
     if (remaining > 0)
       println(s"[dist-build] WARNING: reachability repair exiting with " +

@@ -47,6 +47,12 @@ case class MatVecRotate(child: Expression, mat: IndexedSeq[Double],
 
   override def nullSafeEval(input: Any): Any = {
     val x = input.asInstanceOf[ArrayData]
+    // An UnsafeArrayData shorter than `dim` would otherwise silently read
+    // out-of-bounds buffer bytes and produce garbage floats.
+    if (x.numElements() < dim)
+      throw new IllegalArgumentException(
+        s"$prettyName: input array has ${x.numElements()} elements, " +
+          s"expected >= $dim")
     val m = matArr
     val out = new Array[Float](dim)
     var i = 0
@@ -73,6 +79,11 @@ case class MatVecRotate(child: Expression, mat: IndexedSeq[Double],
       val s = ctx.freshName("s")
       val off = ctx.freshName("off")
       s"""
+         |if ($x.numElements() < $dim) {
+         |  throw new IllegalArgumentException(
+         |    "graft_mat_rotate: input array has " + $x.numElements() +
+         |    " elements, expected >= $dim");
+         |}
          |float[] $out = new float[$dim];
          |for (int $i = 0; $i < $dim; $i++) {
          |  double $s = 0.0;

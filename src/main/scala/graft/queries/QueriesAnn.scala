@@ -455,7 +455,14 @@ object QueriesAnn {
       .cache()
     bP.count()
     val cb = Quantize.pqTrain(trainP, Pq200M, Pq200K, iters = 1)
-    Quantize.pqEncode(bP, cb, Pq200M).orderBy("id")
+    // Scalar k0..k7 columns rather than codes: array<int> — the driver's
+    // oracle comparator sorts result columns with pandas before hashing,
+    // and an array-typed column is unsortable there (r6 red row).
+    Quantize.pqEncode(bP, cb, Pq200M)
+      .select(col("id") +:
+        (0 until Pq200M).map(s =>
+          element_at(col("codes"), s + 1).as(s"k$s")): _*)
+      .orderBy("id")
   }
 
   private val pq200CodesOracle = {
@@ -490,7 +497,7 @@ object QueriesAnn {
     val codeJoins = (1 until Pq200M).map(s => s"JOIN code$s USING (bid)").mkString(" ")
     ctes += s"allcodes AS (SELECT code0.bid AS bid, ${(0 until Pq200M).map(s => s"code$s.code AS k$s").mkString(", ")} FROM code0 $codeJoins)"
     s"""WITH ${ctes.mkString(",\n")}
-       |SELECT bid AS id, [${(0 until Pq200M).map(s => s"k$s").mkString(", ")}] AS codes
+       |SELECT bid AS id, ${(0 until Pq200M).map(s => s"k$s").mkString(", ")}
        |FROM allcodes ORDER BY id""".stripMargin
   }
 
