@@ -17,15 +17,21 @@ object EventOps {
 
   val SessionGapMs: Long = 30L * 60 * 1000 // 30 minutes
 
-  /** Epoch-millis from the events `ts` column. The parquet stores
-    * TIMESTAMP(NANOS), which Spark only reads with
-    * spark.sql.legacy.parquet.nanosAsLong=true (as raw nanos longs) —
-    * handle both that and a genuine timestamp column. */
+  /** Epoch-millis from the events `ts` column, robust to every physical
+    * type the generator has produced: TIMESTAMP(NANOS) read as raw nanos
+    * longs under spark.sql.legacy.parquet.nanosAsLong=true, tz-naive
+    * TIMESTAMP(MICROS) (Spark 4 infers TIMESTAMP_NTZ, which unix_millis
+    * rejects), and a genuine tz'd timestamp. The NTZ→TIMESTAMP cast
+    * interprets the wall-clock in the session timezone — every session
+    * here pins spark.sql.session.timeZone=UTC, matching DuckDB's
+    * epoch_ms on naive timestamps (also UTC). */
   def tsMs(df: DataFrame): Column =
     df.schema("ts").dataType match {
       // integer division: nanos exceed double's 2^53 mantissa, so `/` (which
       // is double division) would corrupt the low bits
       case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_millis(col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => unix_millis(col("ts"))
     }
 
