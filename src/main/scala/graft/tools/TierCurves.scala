@@ -88,7 +88,10 @@ object TierCurves {
       graft.eval.Eval.recallAtK(res.select(col("query_id"), col("ids")), gt, 10)
         .head().getAs[Double]("recall_at_k")
 
-    val lSweep = Seq(10, 20, 50, 100, 200, 300)
+    // Denser in-memory sweep (the reference sweeps 57 L_pq points,
+    // run_roargraph_search_test.sh:13); the bsp tier keeps its coarser
+    // (l, seeds) grid — each bsp point is a multi-round distributed job.
+    val lSweep = Seq(10, 20, 30, 40, 50, 75, 100, 150, 200, 300)
 
     if (tiers("kernel")) {
       println(s"[curves] loading index into the broadcast kernel")
