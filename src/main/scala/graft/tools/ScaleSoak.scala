@@ -262,7 +262,12 @@ object ScaleSoak {
           .head().getAs[Double]("recall_at_k")
         val degCap = 3 * params.mPjbp // m projection + <=2m novel supply
         println(f"""[soak] {"n":$n,"dim":$Dim,"build_sec":$buildSec%.1f,"gt_sec":$gtSec%.1f,"search_sec":$searchSec%.1f,"recall_at_10":$recall%.4f,"max_degree":$maxDeg,"degree_cap":$degCap,"peak_heap_mib":${peak.get / (1 << 20)},"heap_max_mib":${Runtime.getRuntime.maxMemory / (1 << 20)}}""")
-        require(maxDeg <= degCap, s"degree cap violated: $maxDeg > $degCap")
+        // cap enforcement only makes sense on a build run: a --searchOnly
+        // session does not know the layout's build-time mPjbp, so the cap
+        // computed from this run's (default) params is wrong for any
+        // layout built at a different degree
+        if (!searchOnly)
+          require(maxDeg <= degCap, s"degree cap violated: $maxDeg > $degCap")
     }
     println(s"[soak] peak heap ${peak.get / (1 << 20)} MiB")
     spark.stop()
