@@ -196,24 +196,18 @@ object DistRoarGraphBuilder {
     // peak spill is one slice's rounds, not the whole corpus's. This is
     // the knob that bounds scratch-disk per executor at fixed cluster
     // size; batched == unbatched is spec-gated (DistRoarGraphSpec).
-    val p2Scope = new graft.ops.graph.CpScope
-    val selfSearch =
-      if (selfSearchBatches <= 1)
-        BspBeamSearch.search(
-          projection, baseN, baseN, k = params.lPjpq, l = params.lPjpq,
-          ep, scoreMetric, frontierWidth, maxRounds, excludeSelf = true,
-          extraSeeds = p2Seeds, scope = p2Scope)
-      else
-        (0 until selfSearchBatches).map { b =>
-          BspBeamSearch.search(
-            projection, baseN,
-            baseN.filter(
-              pmod(xxhash64(col("id")), lit(selfSearchBatches)) === lit(b)),
-            k = params.lPjpq, l = params.lPjpq,
-            ep, scoreMetric, frontierWidth, maxRounds, excludeSelf = true,
-            extraSeeds = p2Seeds, scope = p2Scope)
-        }.reduce(_.unionByName(_))
-    val supplyFwd = selfSearch
+    // The per-node supply-pool aggregation (explode + vec join +
+    // groupBy(src) + occlusion prune) runs INSIDE each batch rather than
+    // once over the union of all batches: a batch's query slice is a
+    // disjoint set of srcs (id-hash partition), so the per-batch
+    // groupBy(src) is complete for those srcs, and the batch's
+    // vec-carrying pool shuffle — the build's single largest scratch
+    // consumer; the monolithic version measured ~4× a 1M rung's 45 GB at
+    // 2M×128d×(32,48) and overflowed a ~90 GB single-box disk exactly
+    // here (SCALE.md 2M rung, attempt 1) — is materialized to a small
+    // (src, ≤m nbrs) cut and its scratch freed before the next batch
+    // starts. Peak scratch is one batch's pool shuffle, not the corpus's.
+    def supplyPools(ss: DataFrame): DataFrame = ss
       .select(col("query_id").as("src"),
         explode(arrays_zip(col("dists"), col("ids"))).as("h"))
       .select(col("src"), col("h.ids").as("cand"), col("h.dists").as("d"))
@@ -228,8 +222,24 @@ object DistRoarGraphBuilder {
           pool.map(t => (t._2, t._1, t._3)).toArray, src, m, scoreMetric,
           backfill = false))
       }.toDF("src", "nbrs")
-    val (supplyFwdCut, relSupplyFwd) = graft.ops.graph.PlanUtil.cutDFReleasable(supplyFwd)
-    p2Scope.releaseAll() // supply pools are cut; batch final-round states are dead
+    def batchSupply(queries: DataFrame): (DataFrame, () => Unit) = {
+      val scope = new graft.ops.graph.CpScope
+      val ss = BspBeamSearch.search(
+        projection, baseN, queries, k = params.lPjpq, l = params.lPjpq,
+        ep, scoreMetric, frontierWidth, maxRounds, excludeSelf = true,
+        extraSeeds = p2Seeds, scope = scope)
+      val cutRel = graft.ops.graph.PlanUtil.cutDFReleasable(supplyPools(ss))
+      scope.releaseAll() // this batch's pools are cut; its round states are dead
+      cutRel
+    }
+    val batchCuts =
+      if (selfSearchBatches <= 1) Seq(batchSupply(baseN))
+      else (0 until selfSearchBatches).map { b =>
+        batchSupply(baseN.filter(
+          pmod(xxhash64(col("id")), lit(selfSearchBatches)) === lit(b)))
+      }
+    val supplyFwdCut = batchCuts.map(_._1).reduce(_.unionByName(_))
+    val relSupplyFwd = () => batchCuts.foreach(_._2())
     lap("phase2-selfsearch")
 
     // ---- supply reverse (G12 cap 2m) + overflow prune to m (G11), then
