@@ -202,11 +202,13 @@ object DistRoarGraphBuilder {
     // disjoint set of srcs (id-hash partition), so the per-batch
     // groupBy(src) is complete for those srcs, and the batch's
     // vec-carrying pool shuffle — the build's single largest scratch
-    // consumer; the monolithic version measured ~4× a 1M rung's 45 GB at
-    // 2M×128d×(32,48) and overflowed a ~90 GB single-box disk exactly
-    // here (SCALE.md 2M rung, attempt 1) — is materialized to a small
+    // consumer: at 2M×128d×(32,48) the monolithic version left tens of
+    // GB of uncollected spill on disk, and the reverse supply-merge
+    // starting on top of it overflowed a ~90 GB single-box scratch
+    // (SCALE.md 2M rung, attempt 1) — is materialized to a small
     // (src, ≤m nbrs) cut and its scratch freed before the next batch
-    // starts. Peak scratch is one batch's pool shuffle, not the corpus's.
+    // starts. Peak scratch is one batch's pool shuffle, not the corpus's,
+    // and the merge phase starts with a clean disk.
     def supplyPools(ss: DataFrame): DataFrame = ss
       .select(col("query_id").as("src"),
         explode(arrays_zip(col("dists"), col("ids"))).as("h"))
