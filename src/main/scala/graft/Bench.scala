@@ -10,6 +10,26 @@ import org.apache.spark.sql.functions._
   * reporting QPS / recall@10 / mean latency, the same columns as the
   * reference's search driver (tests/test_search_roargraph.cpp:231-236). */
 object Bench {
+
+  /** Time one query. Right((name, sec)) on success; Left(name) on a
+    * NonFatal failure — recorded in `failed_queries`, suite continues.
+    * Fatal JVM errors (OutOfMemoryError, StackOverflowError, linkage)
+    * PROPAGATE and abort the whole bench with a non-zero exit: after an
+    * OOM the JVM is poisoned (caches dropped, threads dead) and every
+    * subsequent timing would be fast-looking garbage the cross-round
+    * diff can't distinguish from a real speedup. */
+  private[graft] def timeQuery(name: String, run: () => Unit): Either[String, (String, Double)] = {
+    val t0 = System.nanoTime()
+    try {
+      run()
+      Right(name -> (System.nanoTime() - t0) / 1e9)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] query $name FAILED: ${e.getMessage}")
+        Left(name)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -47,22 +67,15 @@ object Bench {
     val sharedSetupSec = (System.nanoTime() - tSetup) / 1e9
 
     // ---- per-query wall times (the t2 surface), deterministic order ----
-    // A query that throws is recorded BY NAME in `failed` (and its timing
-    // dropped) — a −1 sentinel looked like a fast query in cross-round
-    // diffs and let a red row hide (VERDICT r6 #3).
-    val failed = collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).count()
-        Some(name -> (System.nanoTime() - t0) / 1e9)
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] query $name FAILED: ${e.getMessage}")
-          failed += name
-          None
-      }
-    }.toMap
+    // A query that throws NonFatal is recorded BY NAME in `failed` (and
+    // its timing dropped) — a −1 sentinel looked like a fast query in
+    // cross-round diffs and let a red row hide (VERDICT r6 #3). Fatal
+    // errors abort the suite (see timeQuery).
+    val (failedSeq, okSeq) = SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) => timeQuery(name, () => fn(spark, sfDir).count())
+    }.partitionMap(identity)
+    val failed = failedSeq.toBuffer
+    val results = okSeq.toMap
 
     // ---- RoarGraph headline: build + L_pq sweep (BASELINE.md methodology) --
     val emb = graft.core.Tables.vectors(spark, sfDir)
@@ -81,9 +94,13 @@ object Bench {
     val nQueries = queries.count()
 
     // Denser sweep (VERDICT r6 task 7): the reference sweeps 57 L_pq points
-    // (run_roargraph_search_test.sh:13); 12 points cover the same
-    // 10..300 range at bench cost ~7 s
-    val sweep = Seq(10, 20, 30, 40, 50, 60, 80, 100, 125, 150, 200, 300).map { lPq =>
+    // (run_roargraph_search_test.sh:13) up to 2000; 14 points cover the
+    // 10..800 range at bench cost ~8 s. The tail stops at 800 because the
+    // sf0.1 fixture's base is only ~1800 vectors — an L_pq >= n pool holds
+    // the whole corpus and reads recall 1.0 by construction; the true
+    // diminishing-returns tail to 2000 is sampled where it means something,
+    // in TierCurves over the >=1M soak layouts (lTail 500/1000/2000).
+    val sweep = Seq(10, 20, 30, 40, 50, 60, 80, 100, 125, 150, 200, 300, 500, 800).map { lPq =>
       val t0 = System.nanoTime()
       val res = RoarGraphBuilder.searchBatch(index, queries,
         SearchParams(k = 10, lPq = lPq, metric = Metric.L2)).cache()

@@ -17,8 +17,16 @@ import org.apache.spark.storage.StorageLevel
   * @param ep     entry-point node id (external)
   * @param metric build metric (vectors were normalized during the build if
   *               cosine)
+  * @param degreeCap the build-time out-degree bound (3·M_pjbp: m projection
+  *               + ≤2m novel supply, reference's reserve sizing,
+  *               src/index_bipartite.cpp:1136-1140). Carried so a serving
+  *               session attaching a persisted layout can report/enforce
+  *               the TRUE cap instead of recomputing one from its own
+  *               (unrelated) parameters. None for ad-hoc adjacency views
+  *               with no build contract.
   */
-final case class DistIndex(adj: DataFrame, ep: Long, metric: Metric)
+final case class DistIndex(adj: DataFrame, ep: Long, metric: Metric,
+                           degreeCap: Option[Int] = None)
 
 /** Fully distributed RoarGraph construction — the beyond-broadcast-size
   * path for SURVEY.md §2.4 G1-G12 (reference LinkProjection,
@@ -271,7 +279,7 @@ object DistRoarGraphBuilder {
       } else adjCut
 
     baseN.unpersist()
-    DistIndex(repaired, ep, metric)
+    DistIndex(repaired, ep, metric, Some(3 * params.mPjbp))
   }
 
   /** How many repair in-edges each unreached node asks for, and the cap

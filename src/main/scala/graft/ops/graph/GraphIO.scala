@@ -129,9 +129,11 @@ object GraphIO {
     // the bucket count is part of the layout, not a serving-time opinion:
     // persist it so attachDistBucketed can never declare a count the files
     // don't satisfy (a mismatch silently drops buckets or asserts a hash
-    // partitioning the data doesn't have — wrong joins, no error)
-    Seq((di.ep, metricName(di.metric), buckets))
-      .toDF("entry_point", "metric", "buckets")
+    // partitioning the data doesn't have — wrong joins, no error). The
+    // build-time degree cap travels with the layout for the same reason:
+    // a serving session has no way to recover it from its own params.
+    Seq((di.ep, metricName(di.metric), buckets, di.degreeCap))
+      .toDF("entry_point", "metric", "buckets", "degree_cap")
       .write.mode("overwrite").saveAsTable(s"$db.meta")
   }
 
@@ -192,8 +194,10 @@ object GraphIO {
         USING parquet CLUSTERED BY (id) SORTED BY (id) INTO $buckets BUCKETS
         LOCATION '${loc("vectors")}'""")
     if (!spark.catalog.tableExists(s"$db.meta"))
+      // degree_cap reads as NULL from meta files written before the column
+      // existed — loadDistBucketed maps that to DistIndex.degreeCap = None
       spark.sql(s"""CREATE TABLE $db.meta (entry_point BIGINT, metric STRING,
-        buckets INT) USING parquet LOCATION '${loc("meta")}'""")
+        buckets INT, degree_cap INT) USING parquet LOCATION '${loc("meta")}'""")
   }
 
   /** Load the bucketed layout: (index, vectors) with both big tables
@@ -201,10 +205,18 @@ object GraphIO {
   def loadDistBucketed(db: String)
                       (implicit spark: SparkSession): (graft.build.DistIndex, DataFrame) = {
     val meta = spark.table(s"$db.meta").collect().head
+    // pre-degree_cap layouts (and attach-declared columns absent from the
+    // files) read as null → None, never a fabricated cap
+    val cap = meta.schema.fieldNames.indexOf("degree_cap") match {
+      case -1 => None
+      case i if meta.isNullAt(i) => None
+      case i => Some(meta.getInt(i))
+    }
     (graft.build.DistIndex(
       spark.table(s"$db.adjacency"),
       meta.getAs[Long]("entry_point"),
-      Metric.fromString(meta.getAs[String]("metric"))),
+      Metric.fromString(meta.getAs[String]("metric")),
+      cap),
       spark.table(s"$db.vectors"))
   }
 }

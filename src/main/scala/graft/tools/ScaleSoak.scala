@@ -260,14 +260,18 @@ object ScaleSoak {
         val searchSec = (System.nanoTime() - ts) / 1e9
         val recall = graft.eval.Eval.recallAtK(res, gt, 10)
           .head().getAs[Double]("recall_at_k")
-        val degCap = 3 * params.mPjbp // m projection + <=2m novel supply
-        println(f"""[soak] {"n":$n,"dim":$Dim,"build_sec":$buildSec%.1f,"gt_sec":$gtSec%.1f,"search_sec":$searchSec%.1f,"recall_at_10":$recall%.4f,"max_degree":$maxDeg,"degree_cap":$degCap,"peak_heap_mib":${peak.get / (1 << 20)},"heap_max_mib":${Runtime.getRuntime.maxMemory / (1 << 20)}}""")
-        // cap enforcement only makes sense on a build run: a --searchOnly
-        // session does not know the layout's build-time mPjbp, so the cap
-        // computed from this run's (default) params is wrong for any
-        // layout built at a different degree
-        if (!searchOnly)
-          require(maxDeg <= degCap, s"degree cap violated: $maxDeg > $degCap")
+        // the cap is the LAYOUT's, not this run's: a --searchOnly session
+        // reads the build-time 3*mPjbp persisted in the bucketed meta
+        // (None for layouts written before the meta carried it — then the
+        // field is omitted rather than printing a cap computed from this
+        // run's unrelated default params)
+        val capOpt = if (searchOnly) bIdx.degreeCap else Some(3 * params.mPjbp)
+        val capJson = capOpt.map(c => s""""degree_cap":$c,""").getOrElse("")
+        println(f"""[soak] {"n":$n,"dim":$Dim,"build_sec":$buildSec%.1f,"gt_sec":$gtSec%.1f,"search_sec":$searchSec%.1f,"recall_at_10":$recall%.4f,"max_degree":$maxDeg,$capJson"peak_heap_mib":${peak.get / (1 << 20)},"heap_max_mib":${Runtime.getRuntime.maxMemory / (1 << 20)}}""")
+        // enforce whenever the true cap is known — including searchOnly,
+        // now that the layout itself carries it
+        capOpt.foreach(c =>
+          require(maxDeg <= c, s"degree cap violated: $maxDeg > $c"))
     }
     println(s"[soak] peak heap ${peak.get / (1 << 20)} MiB")
     spark.stop()

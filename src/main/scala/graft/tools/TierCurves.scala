@@ -91,7 +91,15 @@ object TierCurves {
     // Denser in-memory sweep (the reference sweeps 57 L_pq points,
     // run_roargraph_search_test.sh:13); the bsp tier keeps its coarser
     // (l, seeds) grid — each bsp point is a multi-round distributed job.
-    val lSweep = Seq(10, 20, 30, 40, 50, 75, 100, 150, 200, 300)
+    val lSweep = a.getOrElse("lSweep", "10,20,30,40,50,75,100,150,200,300")
+      .split(",").map(_.trim.toInt).toSeq
+    // the reference's sweep runs to L_pq 2000 (run_roargraph_search_test
+    // .sh:13); these tail points sample the diminishing-recall-per-cmps
+    // region on the KERNEL tier only — a sharded/bsp tail point is a
+    // multi-minute distributed job for a curve region whose shape the
+    // kernel (same graph, same pool discipline) already pins
+    val lTail = a.getOrElse("lTail", "500,1000,2000")
+      .split(",").filter(_.trim.nonEmpty).map(_.trim.toInt).toSeq
 
     if (tiers("kernel")) {
       println(s"[curves] loading index into the broadcast kernel")
@@ -100,7 +108,7 @@ object TierCurves {
       // test_search_roargraph.cpp:198-200)
       graft.build.RoarGraphBuilder.searchBatch(idx, eval,
         SearchParams(10, 10, di.metric)).count()
-      for (l <- lSweep) {
+      for (l <- lSweep ++ lTail) {
         val t0 = System.nanoTime()
         val res = graft.build.RoarGraphBuilder.searchBatch(idx, eval,
           SearchParams(k = 10, lPq = l, metric = di.metric)).cache()
