@@ -4,7 +4,7 @@ import graft.core.{BuildParams, Metric, NeighborVec}
 import graft.functions.{TopKVecAggregator, VecMeanAggregator, VectorFunctions}
 import graft.ops.KnnJoin
 import graft.ops.graph.{BspBeamSearch, OcclusionPrune}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -105,6 +105,7 @@ object DistRoarGraphBuilder {
             frontierWidth: Int = 8, maxRounds: Int = 64,
             selfSearchSeeds: Int = 0,
             selfSearchBatches: Int = 1,
+            mergeBatches: Int = 1,
             repairReachability: Boolean = true): DistIndex = {
     val spark = base.sparkSession
     import spark.implicits._
@@ -184,10 +185,14 @@ object DistRoarGraphBuilder {
     lap("phase1-forward")
 
     // ---- phase 1b/1c (G8/G5): reverse sweep + overflow re-prune ----
-    val (projection, relProjection) = graft.ops.graph.PlanUtil.cutDFReleasable(
-      mergeReversePhase(fwdListsCut, baseN, scoreMetric,
-        appendCap = m, pruneTo = m, backfill = true, capRev = 2 * m,
-        finalCap = None))
+    // (unbatched: phase-1 edge volume is |train|·mSq-bound, not n·m —
+    // the train set is the small side by construction)
+    val (revMergedP1, relRevP1) = mergeReversePhase(fwdListsCut, baseN,
+      scoreMetric, appendCap = m, pruneTo = m, backfill = true,
+      capRev = 2 * m, finalCap = None)
+    val (projection, relProjection) =
+      graft.ops.graph.PlanUtil.cutDFReleasable(revMergedP1)
+    relRevP1()
     relFwdLists() // projection is materialized; phase-1 forward lists are dead
     lap("phase1-reverse")
 
@@ -253,10 +258,13 @@ object DistRoarGraphBuilder {
     lap("phase2-selfsearch")
 
     // ---- supply reverse (G12 cap 2m) + overflow prune to m (G11), then
-    // the reference's post-pass cap at m (:1224-1248) ----
-    val supplyMerged = mergeReversePhase(supplyFwdCut, baseN, scoreMetric,
-      appendCap = 2 * m, pruneTo = m, backfill = false, capRev = 2 * m,
-      finalCap = Some(m))
+    // the reference's post-pass cap at m (:1224-1248). This sweep is over
+    // ALL n srcs at ~m edges each — the build's second n·m·vecBytes
+    // shuffle family — so it takes the destination-hash batching knob
+    // (mergeBatches) that bounds its live scratch to one slice's volume.
+    val (supplyMerged, relSupplyMergedB) = mergeReversePhase(supplyFwdCut,
+      baseN, scoreMetric, appendCap = 2 * m, pruneTo = m, backfill = false,
+      capRev = 2 * m, finalCap = Some(m), batches = mergeBatches)
 
     // ---- merge ≤ 2m novel supply edges into the projection (:1251-1269) --
     val adj = projection
@@ -266,8 +274,9 @@ object DistRoarGraphBuilder {
           slice(filter(coalesce(col("snbrs"), array().cast("array<bigint>")),
             x => !array_contains(col("nbrs"), x)), 1, 2 * m)).as("nbrs"))
     val (adjCut, relAdjCut) = graft.ops.graph.PlanUtil.cutDFReleasable(adj)
-    relSupplyFwd()  // merged adjacency is cut; supply pools and the
-    relProjection() // phase-1 projection are both dead
+    relSupplyMergedB() // merged adjacency is cut; per-slice merge blocks,
+    relSupplyFwd()     // supply pools, and the phase-1 projection are all
+    relProjection()    // dead
     lap("phase2-supply-merge")
 
     val repaired =
@@ -506,17 +515,61 @@ object DistRoarGraphBuilder {
     * candidates while under `appendCap`, occlusion-pruning the union to
     * `pruneTo` on overflow; `finalCap` applies the phase-2 post-pass
     * re-prune. */
+  /** Reverse sweep + per-src merge (the G8/G10-G12 shapes). Returns the
+    * merged (src, nbrs) lists plus a release thunk for any per-slice
+    * checkpoint blocks (a no-op when unbatched).
+    *
+    * `batches` > 1 slices DESTINATION srcs by id hash and runs the sweep
+    * slice-by-slice. Every shuffle in here is keyed by `src` — the fwd
+    * explode's groupBy, the reverse swap's groupBy, and the final
+    * three-way join — so per-src results are independent and slicing is
+    * EXACT (spec-gated batched==unbatched, DistRoarGraphSpec). Why it
+    * exists: the sweep's live scratch is vec-carrying — fwd and reverse
+    * edges each haul a vecBytes vector into their groupBy, and rev lists
+    * of up to capRev vectors ride the final join — totalling
+    * ~n·m·vecBytes·4 monolithically, the build's largest single-phase
+    * disk demand once the forward pools are batched (MEASURED: 64 GB
+    * accumulated in 90 s at 4M×200d×(24,32), SCALE.md 4M rung). Sliced,
+    * live scratch is one slice's volume: each slice materializes to an
+    * id-only (src, nbrs) cut before the next slice starts, and the dead
+    * slice's shuffle files are reclaimed by the ContextCleaner. On a
+    * cluster the same knob bounds per-executor scratch at fixed executor
+    * count. */
   private def mergeReversePhase(fwd: DataFrame, baseN: DataFrame,
                                 metric: Metric, appendCap: Int, pruneTo: Int,
                                 backfill: Boolean, capRev: Int,
-                                finalCap: Option[Int]): DataFrame = {
+                                finalCap: Option[Int],
+                                batches: Int = 1): (DataFrame, () => Unit) =
+    if (batches <= 1)
+      (mergeReverseSlice(fwd, baseN, metric, appendCap, pruneTo, backfill,
+        capRev, finalCap, keepDst = lit(true)), () => ())
+    else {
+      val cuts = (0 until batches).map { b =>
+        graft.ops.graph.PlanUtil.cutDFReleasable(
+          mergeReverseSlice(fwd, baseN, metric, appendCap, pruneTo, backfill,
+            capRev, finalCap,
+            keepDst = pmod(xxhash64(col("__dst")), lit(batches)) === lit(b)))
+      }
+      (cuts.map(_._1).reduce(_.unionByName(_)), () => cuts.foreach(_._2()))
+    }
+
+  /** One destination slice of [[mergeReversePhase]]. `keepDst` is a
+    * predicate over a column named `__dst` holding the destination src id
+    * at each of the three filter sites. */
+  private def mergeReverseSlice(fwd: DataFrame, baseN: DataFrame,
+                                metric: Metric, appendCap: Int, pruneTo: Int,
+                                backfill: Boolean, capRev: Int,
+                                finalCap: Option[Int],
+                                keepDst: Column): DataFrame = {
     val spark = fwd.sparkSession
     import spark.implicits._
     val mn = metricName(metric)
+    def dstFilter(df: DataFrame, dstCol: String): DataFrame = df
+      .withColumn("__dst", col(dstCol)).where(keepDst).drop("__dst")
     val otherVecs = baseN.select(col("id").as("other"), col("vec").as("ovec"))
     val srcVecs = baseN.select(col("id").as("src"), col("vec").as("svec"))
 
-    val fwdE = fwd
+    val fwdE = dstFilter(fwd, "src")
       .select(col("src"), posexplode(col("nbrs")).as(Seq("pos", "other")))
       .join(otherVecs, "other")
       .groupBy("src")
@@ -524,8 +577,8 @@ object DistRoarGraphBuilder {
         .as("fwdl"))
 
     val topRev = TopKVecAggregator.topKVec(capRev)
-    val revE = fwd
-      .select(col("src").as("other"), explode(col("nbrs")).as("src"))
+    val revE = dstFilter(
+      fwd.select(col("src").as("other"), explode(col("nbrs")).as("src")), "src")
       .join(otherVecs, "other")
       .join(srcVecs, "src")
       .select(col("src"), col("other"),
@@ -534,7 +587,7 @@ object DistRoarGraphBuilder {
       .groupBy("src")
       .agg(topRev(col("other"), col("d"), col("ovec")).as("revl"))
 
-    baseN.select(col("id").as("src"), col("vec").as("svec"))
+    dstFilter(baseN, "id").select(col("id").as("src"), col("vec").as("svec"))
       .join(fwdE, Seq("src"), "left")
       .join(revE, Seq("src"), "left")
       .as[(Long, Array[Float], Option[Seq[(Int, Long, Array[Float])]],

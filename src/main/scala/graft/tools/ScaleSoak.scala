@@ -212,11 +212,16 @@ object ScaleSoak {
           // executors)
           val p2b = a.getOrElse("p2b",
             math.max(1L, n / 262144L).toString).toInt
+          // reverse supply-merge slices: same scratch bound for the
+          // build's other n·m·vecBytes shuffle family (defaults to the
+          // self-search batch count — both phases face the same disk)
+          val mrb = a.getOrElse("mrb", p2b.toString).toInt
           val di = DistRoarGraphBuilder.build(base, train, params, knn,
             frontierWidth = a.getOrElse("fw", "8").toInt,
             maxRounds = a.getOrElse("p2rounds", "24").toInt,
             selfSearchSeeds = a.getOrElse("seeds", "32").toInt,
-            selfSearchBatches = p2b)
+            selfSearchBatches = p2b,
+            mergeBatches = mrb)
           di.adj.cache()
           val nAdj = di.adj.count()
           buildSec = (System.nanoTime() - tb) / 1e9

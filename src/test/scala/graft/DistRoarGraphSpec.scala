@@ -75,6 +75,24 @@ class DistRoarGraphSpec extends SparkSpec {
     }
   }
 
+  test("batched reverse supply-merge yields the unbatched adjacency") {
+    import spark.implicits._
+    // the reverse supply-merge's shuffles are all keyed by the destination
+    // src (groupBy(src) / join-by-src), so slicing destinations by id hash
+    // (the scratch bound for the build's other n·m·vecBytes shuffle
+    // family — SCALE.md 4M rung) must be EXACTLY result-neutral, alone
+    // and combined with self-search batching
+    val batched = DistRoarGraphBuilder.build(baseDf, queriesDf, params,
+      selfSearchBatches = 2, mergeBatches = 3)
+    assert(batched.ep == dist.ep)
+    val a = dist.adj.as[(Long, Seq[Long])].collect().sortBy(_._1)
+    val b = batched.adj.as[(Long, Seq[Long])].collect().sortBy(_._1)
+    assert(a.length == b.length)
+    a.zip(b).foreach { case ((s1, n1), (s2, n2)) =>
+      assert(s1 == s2 && n1 == n2, s"merge-batched adjacency differs at $s1")
+    }
+  }
+
   test("DistIndex save/load round-trips through parquet") {
     import spark.implicits._
     implicit val s: org.apache.spark.sql.SparkSession = spark
