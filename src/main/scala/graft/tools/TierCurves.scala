@@ -121,6 +121,38 @@ object TierCurves {
       }
     }
 
+    if (tiers("pq")) {
+      // PQ-guided beam + exact refine (PqGraphSearch — the DiskANN shape):
+      // the serving tier for rungs whose RAW vectors outgrow the kernel's
+      // broadcast but whose graph + byte codes do not. Same graph, same
+      // beam discipline; candidate scoring through per-query ADC tables,
+      // exact re-rank of <= refineK survivors via one distributed join.
+      val pqM = a.getOrElse("pqM", (dim / 8).toString).toInt
+      val pqRefine = a.getOrElse("pqRefine", "80").toInt
+      val pqSeeds = a.getOrElse("pqSeeds", "0").toInt
+      println(s"[curves] training + encoding pq tier (m=$pqM)")
+      val tpq = System.nanoTime()
+      val pqIdx = graft.ops.graph.PqGraphSearch.fromDist(di, bVecs, m = pqM,
+        iters = a.getOrElse("pqIters", "4").toInt)
+      println(f"[curves] pq index ${(System.nanoTime() - tpq) / 1e9}%.1f s; " +
+        s"codes ${pqIdx.codeBytes / (1 << 20)} MiB vs raw " +
+        s"${pqIdx.rawBytes / (1 << 20)} MiB")
+      for (l <- lSweep ++ lTail) {
+        val t0 = System.nanoTime()
+        val res = graft.ops.graph.PqGraphSearch.searchRefined(pqIdx, eval,
+          bVecs, k = 10, l = l, refineK = math.min(pqRefine, l),
+          numSeeds = pqSeeds).cache()
+        res.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val ch = res.agg(avg("cmps"), avg("hops")).head()
+        record("pq", l, pqSeeds, sec,
+          recallOf(res.select(col("query_id"),
+            transform(col("knn"), _("id")).as("ids"))),
+          Some(ch.getDouble(0)), Some(ch.getDouble(1)))
+        res.unpersist()
+      }
+    }
+
     if (tiers("sharded")) {
       println(s"[curves] building $shards-shard tier from persisted vectors")
       val train = ScaleSoak.corpus(spark, trainQ, seed = 0x77AA11L,
@@ -144,8 +176,16 @@ object TierCurves {
     }
 
     if (tiers("bsp")) {
-      for ((l, seeds) <- Seq((100, 32), (100, 128), (300, 128), (300, 256),
-                             (1000, 512), (2000, 1024))) {
+      // each bsp point is a multi-round distributed job whose cost grows
+      // with n and l; --bspGrid ("l:seeds,l:seeds,...") lets big-rung runs
+      // pick a grid their wall budget affords
+      val bspGrid = a.get("bspGrid") match {
+        case Some(g) => g.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          .map { p => val Array(l, s) = p.split(":"); (l.toInt, s.toInt) }
+        case None => Seq((100, 32), (100, 128), (300, 128), (300, 256),
+                         (1000, 512), (2000, 1024))
+      }
+      for ((l, seeds) <- bspGrid) {
         val extra = graft.ops.graph.BspBeamSearch.pickSeeds(di.adj, seeds)
         val t0 = System.nanoTime()
         val res = graft.ops.graph.BspBeamSearch.search(di.adj, bVecs, eval,
