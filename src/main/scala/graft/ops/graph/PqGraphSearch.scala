@@ -85,30 +85,46 @@ object PqGraphSearch {
       if (step == 1L) vectors
       else vectors.filter(pmod(col("id").cast("long"), lit(step)) === 0L)
     val cb = Quantize.pqTrain(trainDf, m, kCodes, iters).cache()
-    val codeRows = Quantize.pqEncodeKernel(vectors, cb, m)
+    val idx = fromPrecomputed(adj, Quantize.pqEncodeKernel(vectors, cb, m),
+      cb, ep, metric)
+    cb.unpersist()
+    idx
+  }
+
+  /** Assemble the tier from ALREADY-trained artifacts — `codes` (id,
+    * codes array&lt;int&gt;) and `codebooks` (subspace, centroid_id, vec) in
+    * whatever space the caller encoded (e.g. OPQ-rotated); queries passed
+    * to [[searchApprox]] must live in the same space. */
+  def fromPrecomputed(adj: DataFrame, codes: DataFrame, codebooks: DataFrame,
+                      ep: Long, metric: Metric): PqGraphIndex = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val codeRows = codes
       .select(col("id").cast("long"), col("codes"))
       .as[(Long, Array[Int])].collect().sortBy(_._1)
+    val m = codeRows.head._2.length
     val books = {
-      val rows = cb.select(col("subspace").cast("int"),
+      val rows = codebooks.select(col("subspace").cast("int"),
         col("centroid_id").cast("int"), col("vec"))
         .as[(Int, Int, Array[Float])].collect()
       val kMax = rows.iterator.map(_._2).max + 1
       require(rows.length == m * kMax,
         s"codebook grid not dense: ${rows.length} rows for $m x $kMax")
+      require(kMax <= 256, s"byte-wide codes need kCodes <= 256: $kMax")
       val grid = Array.ofDim[Array[Float]](m, kMax)
       rows.foreach { case (s, c, v) => grid(s)(c) = v }
       grid
     }
-    cb.unpersist()
+    val kCodes = books.head.length
 
     val ids = codeRows.map(_._1)
     val n = ids.length
-    val codes = new Array[Byte](n * m)
+    val flat = new Array[Byte](n * m)
     var i = 0
     while (i < n) {
       val cs = codeRows(i)._2
       var s = 0
-      while (s < m) { codes(i * m + s) = (cs(s) & 0xFF).toByte; s += 1 }
+      while (s < m) { flat(i * m + s) = (cs(s) & 0xFF).toByte; s += 1 }
       i += 1
     }
 
@@ -131,7 +147,7 @@ object PqGraphSearch {
       d
     }
     PqGraphIndex(adjArr, ids, epDense, m, kCodes, books.head.head.length,
-      codes, books, metric)
+      flat, books, metric)
   }
 
   /** The distributed-layout entry: PQ tier over a [[graft.build.DistIndex]]

@@ -418,6 +418,62 @@ object QueriesAnn {
        |FROM r ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---- PQ-guided beam + exact refine (the DiskANN serving shape) ---------
+
+  /** Exact top-k served through [[graft.ops.graph.PqGraphSearch]]: beam
+    * over the session-shared RoarGraph scoring via ADC lookup tables on
+    * the memoized OPQ codes, exact re-rank of the top-PqRefine survivors.
+    * The beam runs EXHAUSTIVELY (l = n over the repair-guaranteed fully
+    * reachable graph), which makes the output graph-independent — the
+    * SQL-expressible projection of the operator (ADC scan top-R + exact
+    * refine), so the row is oracle-green rather than rows-only; the
+    * bounded-beam graph-traversal behavior is pinned by PqBeamSpec
+    * (exhaustive-beam == adcTopK equality + recall/determinism gates)
+    * and measured at soak scale by the TierCurves pq tier. */
+  private def pqBeamQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Quantize
+    import s.implicits._
+    val (cb, codes, qP) = pqArtifacts(s, dir)
+    val gi = QueriesGraph.memIndex(s, dir)
+    val adjDf = gi.adj.zipWithIndex.toSeq
+      .map { case (nbrs, i) => (gi.ids(i), nbrs.map(gi.ids(_))) }
+      .toDF("src", "nbrs")
+    val pqIdx = graft.ops.graph.PqGraphSearch.fromPrecomputed(
+      adjDf, codes, cb, ep = gi.ids(gi.ep), metric = Metric.L2)
+    val cand = graft.ops.graph.PqGraphSearch.searchApprox(
+      pqIdx, qP, refineK = PqRefine, l = pqIdx.n)
+    val refined = Quantize.refineTopK(cand, qSide(s, dir), bSide(s, dir), K)
+    KnnJoin.explodeRanks(refined)
+      .select(col("query_id"), col("rank"), col("base_id"),
+        round(col("dist"), 6).as("dist"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val pqBeamOracle = {
+    val sub = PqDim / PqM
+    val ctes = pqCommonCtes
+    // identical candidate stage to the refined-recall oracle (ADC top-R
+    // over the rotated/coded corpus == the exhaustive beam's pool), then
+    // the exact re-rank emitted as ranked rows
+    val codeJoins = (1 until PqM).map(s => s"JOIN code$s USING (bid)").mkString(" ")
+    ctes += s"allcodes AS (SELECT code0.bid AS bid, ${(0 until PqM).map(s => s"code$s.code AS k$s").mkString(", ")} FROM code0 $codeJoins)"
+    val cbJoins = (0 until PqM)
+      .map(s => s"JOIN c${s}_$PqIters cb$s ON cb$s.cid = k$s").mkString(" ")
+    ctes += s"wide AS (SELECT bid, ${(0 until PqM).map(s => s"cb$s.ce AS ce$s").mkString(", ")} FROM allcodes $cbJoins)"
+    val distExpr = (0 until PqM).map { s =>
+      val (lo, hi) = (s * sub + 1, (s + 1) * sub)
+      pqL2(s"qe[$lo:$hi]", s"ce$s")
+    }.mkString("(", " + ", ")")
+    ctes += s"adc AS (SELECT qid, bid, $distExpr AS dist FROM q, wide)"
+    ctes += s"cand AS (SELECT qid, bid FROM (SELECT qid, bid, row_number() OVER (PARTITION BY qid ORDER BY dist, bid) AS rnk FROM adc) WHERE rnk <= $PqRefine)"
+    ctes += s"rer AS (SELECT cand.qid AS qid, cand.bid AS bid, ${pqL2("rawq.qe", "rawb.be")} AS d FROM cand JOIN rawq ON cand.qid = rawq.qid JOIN rawb ON cand.bid = rawb.bid)"
+    ctes += s"ap AS (SELECT qid, bid, d, row_number() OVER (PARTITION BY qid ORDER BY d, bid) AS rnk FROM rer QUALIFY rnk <= $K)"
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT qid AS query_id, CAST(rnk AS INT) AS rank, bid AS base_id,
+       |       round(d, 6) AS dist
+       |FROM ap ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---- 200-d PQ codes through the zero-padded OPQ path --------------------
   // The reference's primary dataset is 200-d (prepare_data.sh:22-28); the
   // padded-Hadamard path (opqRotate zero-pads 200 -> 256) was previously
@@ -589,6 +645,7 @@ object QueriesAnn {
     "ann_sq8_recall" -> (sq8RecallQuery _),
     "ann_pq_recall" -> (pqRecallQuery _),
     "ann_pq_adc_topk" -> (pqAdcQuery _),
+    "ann_pq_beam_topk" -> (pqBeamQuery _),
     "ann_pq200_codes" -> (pq200CodesQuery _),
     "ann_ivfpq_topk" -> (ivfPqQuery _),
   )
@@ -601,6 +658,7 @@ object QueriesAnn {
     "ann_sq8_recall" -> sq8RecallOracle,
     "ann_pq_recall" -> pqRecallOracle,
     "ann_pq_adc_topk" -> pqAdcOracle,
+    "ann_pq_beam_topk" -> pqBeamOracle,
     "ann_pq200_codes" -> pq200CodesOracle,
     "ann_ivfpq_topk" -> ivfPqOracle,
   )

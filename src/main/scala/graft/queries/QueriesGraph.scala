@@ -114,9 +114,18 @@ object QueriesGraph {
   private def buildParams = BuildParams(mSq = 40, mPjbp = 12, lPjpq = 60,
     metric = Metric.L2)
 
+  /** The in-memory index, built ONCE per (session, sfDir): stats, search
+    * results, and QueriesAnn's PQ-beam query all consume the same
+    * deterministic graph (same rationale as distMemo below). */
+  private val memMemo = new SessionMemo[graft.build.GraphIndex]
+  private[graft] def memIndex(s: SparkSession, dir: String): graft.build.GraphIndex =
+    memMemo.getOrElseUpdate(s, dir) {
+      RoarGraphBuilder.build(bSide(s, dir), qSide(s, dir), buildParams)
+    }
+
   private def roargraphStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val idx = RoarGraphBuilder.build(bSide(s, dir), qSide(s, dir), buildParams)
+    val idx = memIndex(s, dir)
     val (avg, mx, mn) = idx.degreeStats
     Seq((idx.ids(idx.ep), idx.n.toLong, math.rint(avg * 1e6) / 1e6, mx, mn,
       idx.reachableFromEp.toLong))
@@ -127,9 +136,8 @@ object QueriesGraph {
   /** In-memory build + search results (ids + dists) — shared by the
     * recall query and GraphGoldenSpec's sf0.01 id-hash pin. */
   private[graft] def roargraphSearchResults(s: SparkSession, dir: String): DataFrame = {
-    val idx = RoarGraphBuilder.build(bSide(s, dir), qSide(s, dir), buildParams)
     RoarGraphBuilder
-      .searchBatch(idx, qSide(s, dir), SearchParams(10, 100, Metric.L2))
+      .searchBatch(memIndex(s, dir), qSide(s, dir), SearchParams(10, 100, Metric.L2))
   }
 
   private def roargraphRecall(s: SparkSession, dir: String): DataFrame = {
