@@ -79,6 +79,37 @@ class PqBeamSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("inner-product LUT matches a reference fold over codes + books") {
+    // adcTopK is L2-only, so the IP path gets a direct pin: exhaustive
+    // beam dists must equal a test-side recomputation of the negated-dot
+    // LUT fold (same Double association: per-subspace partials in
+    // ascending dim order, summed in subspace order)
+    val ipIdx = PqGraphSearch.fromDF(adjDf, baseDf,
+      ep = graphIdx.ids(graphIdx.ep), metric = Metric.InnerProduct,
+      m = M, kCodes = KCodes, iters = 2, trainCap = 1 << 20)
+    val res = PqGraphSearch.searchApprox(ipIdx, queriesDf, refineK = 10,
+      l = ipIdx.n)
+      .select(col("query_id"), col("knn")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(e => (e.getLong(0), e.getDouble(1))).toArray).toMap
+    val qVecs = queriesDf.select(col("id").cast("long"), col("vec"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val codeOf = ipIdx.ids.zipWithIndex.toMap
+    for ((qid, knn) <- res; (bid, dist) <- knn) {
+      val q = qVecs(qid)
+      val dense = codeOf(bid)
+      var expected = 0.0
+      for (s <- 0 until ipIdx.m) {
+        val cent = ipIdx.books(s)(ipIdx.codes(dense * ipIdx.m + s) & 0xFF)
+        var part = 0.0
+        for (t <- 0 until ipIdx.subDim)
+          part -= q(s * ipIdx.subDim + t).toDouble * cent(t)
+        expected += part
+      }
+      assert(dist == expected, s"q=$qid b=$bid: $dist != $expected")
+    }
+  }
+
   test("PQ payload is an order of magnitude smaller than raw vectors") {
     // 64d x 4B = 256 B/node raw vs m = 16 code bytes: 16x
     assert(pqIdx.codeBytes * 10 <= pqIdx.rawBytes,
