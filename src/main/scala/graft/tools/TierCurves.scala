@@ -53,6 +53,10 @@ object TierCurves {
       .config("spark.sql.shuffle.partitions", a.getOrElse("shuffle", "96"))
       .config("spark.sql.warehouse.dir", warehouse)
       .config("spark.ui.enabled", "false")
+      // the kernel/pq tiers collect the at-rest index to the driver once
+      // (adjacency + vectors / codes); at 4M x 200d that legitimately
+      // exceeds the 1g default result cap
+      .config("spark.driver.maxResultSize", "0")
       .config("spark.cleaner.periodicGC.interval", "60s")
       .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .getOrCreate()
