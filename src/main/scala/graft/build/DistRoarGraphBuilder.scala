@@ -71,9 +71,14 @@ final case class DistIndex(adj: DataFrame, ep: Long, metric: Metric,
   * is some node's only in-link) to make room, and because trimming can
   * in principle orphan a node whose only in-path ran through the
   * trimmed edge, any pass that trimmed is re-verified by a fresh BFS
-  * (bounded outer passes) before repair reports done. If the loop
-  * still exits with unreachable nodes it says so loudly (a
-  * `[dist-build] WARNING` line) instead of returning silently.
+  * (bounded outer passes) before repair reports done. When the bounded
+  * beam rounds exit with residual orphans (the beams' miss mode is
+  * geometric — an island no beam enters), a convergence backstop
+  * attaches the residue through one EXACT blocked kNN join per pass
+  * (orphans vs the reached set — |orphans|-bounded work, cannot miss),
+  * re-verifying by BFS after every attach. Only if the backstop's own
+  * pass bound is hit does repair exit unconverged — and then it says so
+  * loudly (a `[dist-build] WARNING` line) instead of returning silently.
   *
   * Job-count bound at scale: the BFS materializes every
   * [[BfsHopsPerBatch]] levels (one multi-hop plan per materialization),
@@ -299,6 +304,17 @@ object DistRoarGraphBuilder {
   private val RepairC = 2
   private val RepairMaxRounds = 8
   private val RepairMaxPasses = 3
+  /** Bound on exact-backstop attach passes after the beam rounds exhaust
+    * (each pass is one verify-BFS + one blocked exact kNN join over the
+    * orphan residue — measured 0.009% of nodes at the 4M rung). */
+  private val RepairForcePasses = 3
+  /** Test hook: `-Dgraft.repair.disableBeams=true` skips the beam-based
+    * attach rounds so the exact backstop carries ALL repair work —
+    * DistRoarGraphSpec's converges gate drives the backstop end-to-end
+    * through this. Never set outside tests. */
+  private def beamRoundsBound: Int =
+    if (sys.props.get("graft.repair.disableBeams").contains("true")) 0
+    else RepairMaxRounds
   private val BfsMaxRounds = 96
   private val BfsHopsPerBatch = 8
 
@@ -396,7 +412,7 @@ object DistRoarGraphBuilder {
         var allowTrim = false
         var trimmedThisPass = false
         var exhausted = false
-        while (remaining > 0 && !exhausted && round < RepairMaxRounds) {
+        while (remaining > 0 && !exhausted && round < beamRoundsBound) {
           val ranWithTrim = allowTrim
           // nearest reached nodes per unreached query: beams start at ep
           // over the CURRENT adjacency, so every pooled candidate is
@@ -408,52 +424,11 @@ object DistRoarGraphBuilder {
             adjCur.select("src", "nbrs"), baseN, unreached, k = RepairC,
             l = math.max(16, 4 * RepairC), ep, metric,
             frontierWidth, maxRounds, excludeSelf = true, scope = roundScope)
-          // bounded per-source absorption, (dist, id)-deterministic. A
-          // source normally absorbs only into its free degree room; in a
-          // trim round (previous round stalled on saturated sources) the
-          // allowance is raised to min(origCnt, RepairC) so the merge can
-          // trim that many ORIGINAL tail edges — never a repair edge.
-          val topAttach = graft.functions.TopKAggregator.topK(2 * m)
-          val allowance =
-            if (allowTrim)
-              greatest(lit(cap) - col("deg"),
-                least(col("origCnt"), lit(RepairC)))
-            else greatest(lit(0), lit(cap) - col("deg"))
-          val kept = hits
-            .select(col("query_id").as("u"),
-              explode(arrays_zip(col("dists"), col("ids"))).as("h"))
-            .select(col("h.ids").as("src"), col("u"), col("h.dists").as("d"))
-            .groupBy("src")
-            .agg(topAttach(col("u"), col("d")).as("adds"))
-            .join(adjCur.select(col("src"), size(col("nbrs")).as("deg"),
-              col("origCnt")), "src")
-            .select(col("src"), slice(col("adds"), lit(1), allowance).as("adds"))
-            .filter(size(col("adds")) > 0)
-          val (attached, relAttached) = graft.ops.graph.PlanUtil.cutDFReleasable(
-            kept.select(explode(col("adds")("id")).as("id")).distinct())
-          val merged = adjCur
-            .join(kept.select(col("src"), col("adds")), Seq("src"), "left")
-            .as[(Long, Seq[Long], Int, Option[Seq[(Long, Double)]])]
-            .map { case (src, nbrs, origCnt, addsOpt) =>
-              val have = nbrs.toSet
-              val adds = addsOpt.getOrElse(Seq.empty).map(_._1)
-                .filter(u => u != src && !have.contains(u)).distinct
-              val room = cap - nbrs.size
-              if (adds.size <= room) (src, nbrs ++ adds, origCnt)
-              else {
-                // overflow ≤ allowance - room ≤ min(origCnt, RepairC), so
-                // the original prefix always has room to give
-                val t = math.min(adds.size - math.max(room, 0), origCnt)
-                val kept2 = nbrs.take(origCnt - t) ++ nbrs.drop(origCnt)
-                (src, kept2 ++ adds.take(math.max(room, 0) + t), origCnt - t)
-              }
-            }.toDF("src", "nbrs", "origCnt")
-          locally { // cut the merged adjacency, then free the prior round's
-            val (a2, relA2) = graft.ops.graph.PlanUtil.cutDFReleasable(merged)
-            relAdjCur()
-            adjCur = a2
-            relAdjCur = relA2
-          }
+          val (a2, relA2, attached, relAttached) =
+            absorbRound(adjCur, hits, cap, m, allowTrim)
+          relAdjCur() // merged adjacency is cut; the prior round's is dead
+          adjCur = a2
+          relAdjCur = relA2
           locally {
             val (u2, relU2) = graft.ops.graph.PlanUtil.cutDFReleasable(
               unreached.join(attached, Seq("id"), "left_anti"))
@@ -487,23 +462,115 @@ object DistRoarGraphBuilder {
       relUnreached() // pass is over; only the scalar `remaining` survives
       pass += 1
     }
-    // The loop can exit on the pass bound with the FINAL pass's trim never
-    // re-verified (done still false, remaining possibly 0) — a trim could
-    // have orphaned a node whose only in-path ran through the trimmed edge,
-    // and with remaining == 0 the WARNING below could not fire. Run one
-    // verification-only BFS in that case so the exit report is honest.
-    if (!done && unverifiedTrim) {
+    // Convergence backstop (VERDICT r8 #3). Two exit states need it:
+    // (a) the pass bound was hit with the FINAL pass's trim unverified
+    // (done still false, `remaining` possibly stale-zero — a trim could
+    // have orphaned a node whose only in-path ran through the trimmed
+    // edge); (b) the beam rounds exhausted/stalled with residual orphans
+    // (measured 0.009% of nodes at the 4M rung — the beams' miss mode is
+    // geometric: an island no beam enters). Each backstop pass re-runs
+    // the verify BFS, then attaches the orphan residue through one EXACT
+    // blocked kNN join (orphans vs the reached set — KnnJoin streams the
+    // reached side once per orphan block, so work is |orphans|-bounded,
+    // and unlike a beam it cannot miss): every orphan's nearest reached
+    // sources are found by construction and absorbed under the same
+    // trim-allowed discipline as a trim round. Because a trim can in
+    // principle orphan someone else, the NEXT pass's BFS re-verifies;
+    // the loop exits only on a verified-clean BFS or the pass bound.
+    // The orphan residue does transit the driver inside KnnJoin's query
+    // blocks — bounded by the residue size, not the corpus; the builder's
+    // no-driver-materialization contract is about corpus-scale state.
+    var fpass = 0
+    var staleCount = !done && unverifiedTrim
+    while ((remaining > 0 || staleCount) && fpass <= RepairForcePasses) {
       val vScope = new graft.ops.graph.CpScope
       val reached = bfsReached(adjCur.select("src", "nbrs"), ep, vScope)
-      remaining = baseN.select(col("id"))
-        .join(reached, Seq("id"), "left_anti").count()
-      vScope.releaseAll()
+      val (orphans, relOrphans) = graft.ops.graph.PlanUtil.cutDFReleasable(
+        baseN.select(col("id"), col("vec"))
+          .join(reached, Seq("id"), "left_anti"))
+      remaining = orphans.count()
+      staleCount = false
+      if (remaining > 0 && fpass < RepairForcePasses) {
+        println(s"[dist-build] repair backstop: exact-attaching $remaining " +
+          s"orphan(s), pass ${fpass + 1}")
+        val (reachedV, relReachedV) = graft.ops.graph.PlanUtil.cutDFReleasable(
+          baseN.select(col("id"), col("vec")).join(reached, Seq("id")))
+        vScope.releaseAll() // both consumers of the BFS set are cut
+        val hits = KnnJoin(orphans, reachedV, RepairC, metric)
+          .select(col("query_id"),
+            transform(col("knn"), _("dist")).as("dists"),
+            transform(col("knn"), _("id")).as("ids"))
+        val (a2, relA2, _, relAttached) =
+          absorbRound(adjCur, hits, cap, m, allowTrim = true)
+        relAdjCur()
+        adjCur = a2
+        relAdjCur = relA2
+        relAttached(); relReachedV()
+        staleCount = true // attach happened: the next BFS must re-verify
+      } else vScope.releaseAll()
+      relOrphans()
+      fpass += 1
     }
     if (remaining > 0)
       println(s"[dist-build] WARNING: reachability repair exiting with " +
         s"$remaining unreachable node(s) after $pass pass(es) — callers " +
         s"should not assume full connectivity")
     adjCur.select("src", "nbrs")
+  }
+
+  /** One bounded absorption round, shared by the beam repair rounds and
+    * the exact backstop. `hits` rows are (query_id, dists, ids): candidate
+    * source nodes per unreached node, nearest first. Sources absorb
+    * (dist, id)-deterministically into their free degree room; with
+    * `allowTrim`, a saturated source's allowance is raised to
+    * min(origCnt, RepairC) so the merge can trim that many ORIGINAL tail
+    * edges — never a repair edge (a repair edge is some node's only
+    * in-link). `adjCur` must carry (src, nbrs, origCnt). Returns the
+    * merged adjacency and the distinct attached node ids, both cut, with
+    * their release thunks (merged is materialized before return, so the
+    * caller may release the prior adjacency immediately). */
+  private def absorbRound(adjCur: DataFrame, hits: DataFrame, cap: Int,
+                          m: Int, allowTrim: Boolean)
+      : (DataFrame, () => Unit, DataFrame, () => Unit) = {
+    val spark = adjCur.sparkSession
+    import spark.implicits._
+    val topAttach = graft.functions.TopKAggregator.topK(2 * m)
+    val allowance =
+      if (allowTrim)
+        greatest(lit(cap) - col("deg"),
+          least(col("origCnt"), lit(RepairC)))
+      else greatest(lit(0), lit(cap) - col("deg"))
+    val kept = hits
+      .select(col("query_id").as("u"),
+        explode(arrays_zip(col("dists"), col("ids"))).as("h"))
+      .select(col("h.ids").as("src"), col("u"), col("h.dists").as("d"))
+      .groupBy("src")
+      .agg(topAttach(col("u"), col("d")).as("adds"))
+      .join(adjCur.select(col("src"), size(col("nbrs")).as("deg"),
+        col("origCnt")), "src")
+      .select(col("src"), slice(col("adds"), lit(1), allowance).as("adds"))
+      .filter(size(col("adds")) > 0)
+    val (attached, relAttached) = graft.ops.graph.PlanUtil.cutDFReleasable(
+      kept.select(explode(col("adds")("id")).as("id")).distinct())
+    val merged = adjCur
+      .join(kept.select(col("src"), col("adds")), Seq("src"), "left")
+      .as[(Long, Seq[Long], Int, Option[Seq[(Long, Double)]])]
+      .map { case (src, nbrs, origCnt, addsOpt) =>
+        val have = nbrs.toSet
+        val adds = addsOpt.getOrElse(Seq.empty).map(_._1)
+          .filter(u => u != src && !have.contains(u)).distinct
+        val room = cap - nbrs.size
+        if (adds.size <= room) (src, nbrs ++ adds, origCnt)
+        else {
+          // overflow ≤ allowance - room ≤ min(origCnt, RepairC), so
+          // the original prefix always has room to give
+          val t = math.min(adds.size - math.max(room, 0), origCnt)
+          val kept2 = nbrs.take(origCnt - t) ++ nbrs.drop(origCnt)
+          (src, kept2 ++ adds.take(math.max(room, 0) + t), origCnt - t)
+        }
+      }.toDF("src", "nbrs", "origCnt")
+    val (a2, relA2) = graft.ops.graph.PlanUtil.cutDFReleasable(merged)
+    (a2, relA2, attached, relAttached)
   }
 
   /** Bulk reverse-edge merge (G8 ProjectionAddReverse / G12

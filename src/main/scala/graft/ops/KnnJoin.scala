@@ -92,30 +92,44 @@ object KnnJoin {
     * [[graft.ops.Quantize.adcTopK]]): stream query blocks through the
     * driver one at a time (`toLocalIterator` runs one job per partition
     * lazily — the driver never holds the whole query side), broadcast one
-    * block, materialize its partial top-k eagerly (PlanUtil.cutDF: only
-    * partitions×k rows per query persist; reliable checkpoint when the
-    * session has a checkpoint dir, local otherwise) so the block's
-    * broadcast can be destroyed before the next block is drained — no
-    * accumulation of broadcasts or query bytes across the job's lifetime —
-    * then merge the partials into the final per-query top-k.
+    * block, materialize its partial top-k eagerly (PlanUtil.cutDF:
+    * reliable checkpoint when the session has a checkpoint dir, local
+    * otherwise) so the block's broadcast can be destroyed before the next
+    * block is drained — no accumulation of broadcasts or query bytes
+    * across the job's lifetime.
+    *
+    * Blocks tile the QUERY set disjointly, so the per-query merge is
+    * applied PER BLOCK and the block's per-(query, partition) partial
+    * rows — the job's largest transient, partitions×k rows per query —
+    * are released as soon as the block's merged top-k lands. What stays
+    * pinned across blocks is only the final k rows per query (the result
+    * itself); the shuffle volume is identical to one global merge (the
+    * groupBy keys are disjoint across blocks). Pre-10M hardening: the
+    * previous shape pinned EVERY block's partials until one global
+    * groupBy at the end — partitions× the result size, all live at once.
     *
     * `partial(bc)` must return a [query_id: long,
     * partial: array<struct<_1: double, _2: long>>] DataFrame of per-block
-    * per-partition partial top-k rows. */
+    * per-partition partial top-k rows. The returned DataFrame is already
+    * materialized (a union of per-block cuts). */
   private[graft] def blockedTopK[Q](spark: org.apache.spark.sql.SparkSession,
       qIt: Iterator[Q], blockRows: Int, k: Int, emptyMsg: String)(
       partial: org.apache.spark.broadcast.Broadcast[Array[Q]] => DataFrame)(
       implicit ct: scala.reflect.ClassTag[Q]): DataFrame = {
     require(qIt.hasNext, emptyMsg)
-    val partialBlocks = qIt.grouped(blockRows).map { blk =>
+    val mergedBlocks = qIt.grouped(blockRows).map { blk =>
       val bc = spark.sparkContext.broadcast(blk.toArray)
-      val cut = graft.ops.graph.PlanUtil.cutDF(partial(bc))
+      val (cutPartial, releasePartial) =
+        graft.ops.graph.PlanUtil.cutDFReleasable(partial(bc))
       bc.destroy()
-      cut
+      val merged = graft.ops.graph.PlanUtil.cutDF(
+        cutPartial.groupBy("query_id")
+          .agg(slice(sort_array(flatten(collect_list(col("partial")))), 1, k)
+            .as("knn0")))
+      releasePartial() // merged is cut; this block's partials are dead
+      merged
     }.toList
-    partialBlocks.reduce(_ union _)
-      .groupBy("query_id")
-      .agg(slice(sort_array(flatten(collect_list(col("partial")))), 1, k).as("knn0"))
+    mergedBlocks.reduce(_ union _)
       .select(col("query_id"),
         transform(col("knn0"),
           x => struct(x("_1").as("dist"), x("_2").as("id"))).as("knn"))

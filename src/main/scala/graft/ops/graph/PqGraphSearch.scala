@@ -261,12 +261,23 @@ object PqGraphSearch {
     * never touches a raw vector; the refine joins the ≤refineK survivors
     * per query against `vectors` (the bucketed at-rest table) and
     * re-ranks with exact distances. Returns (query_id,
-    * knn: array&lt;struct&lt;id, dist&gt;&gt;) — final exact top-k. */
+    * knn: array&lt;struct&lt;id, dist&gt;&gt;) — final exact top-k.
+    *
+    * Eager: the beam candidates feed BOTH the refine join and the
+    * work-counter join, so they are checkpointed once, consumed, and
+    * their blocks RELEASED before return (a `.cache()` here leaked one
+    * candidate set per serving call for the session lifetime — ADVICE
+    * r8). The returned frame is itself a cut of only k rows per query. */
   def searchRefined(idx: PqGraphIndex, queries: DataFrame,
                     vectors: DataFrame, k: Int, l: Int, refineK: Int,
                     numSeeds: Int = 0): DataFrame = {
-    val cand = searchApprox(idx, queries, refineK, l, numSeeds).cache()
-    Quantize.refineTopK(cand, queries, vectors, k)
-      .join(cand.select(col("query_id"), col("cmps"), col("hops")), "query_id")
+    val (cand, releaseCand) = PlanUtil.cutDFReleasable(
+      searchApprox(idx, queries, refineK, l, numSeeds))
+    val out = PlanUtil.cutDF(
+      Quantize.refineTopK(cand, queries, vectors, k)
+        .join(cand.select(col("query_id"), col("cmps"), col("hops")),
+          "query_id"))
+    releaseCand()
+    out
   }
 }

@@ -257,6 +257,21 @@ class DistRoarGraphSpec extends SparkSpec {
     val cap = 3 * p.mPjbp
     val maxDeg = fixed.adj.select(max(size(col("nbrs")))).head().getInt(0)
     assert(maxDeg <= cap, s"repair blew the degree cap: $maxDeg > $cap")
+
+    // convergence backstop (VERDICT r8 #3): with the beam rounds disabled
+    // (-Dgraft.repair.disableBeams — every pass "stalls" immediately), ALL
+    // repair work lands on the exact-kNN backstop, which must STILL
+    // reconnect every node of the same disconnected geometry under the
+    // same cap. This is the converges gate: repair no longer depends on
+    // beams finding the islands.
+    sys.props("graft.repair.disableBeams") = "true"
+    try {
+      val forced = DistRoarGraphBuilder.build(b, t, p)
+      assert(reachableFrom(forced) == 1500,
+        "exact backstop left unreachable nodes")
+      val fDeg = forced.adj.select(max(size(col("nbrs")))).head().getInt(0)
+      assert(fDeg <= cap, s"backstop blew the degree cap: $fDeg > $cap")
+    } finally sys.props -= "graft.repair.disableBeams"
   }
 
   test("no driver materialization of vectors or adjacency in the build source") {
