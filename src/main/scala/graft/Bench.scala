@@ -93,7 +93,7 @@ object Bench {
     gt.count()
     val nQueries = queries.count()
 
-    // Denser sweep (VERDICT r6 task 7): the reference sweeps 57 L_pq points
+    // Denser sweep (VERDICT r6 task 7): the reference sweeps a 56-point L_pq grid
     // (run_roargraph_search_test.sh:13) up to 2000; 14 points cover the
     // 10..800 range at bench cost ~8 s. The tail stops at 800 because the
     // sf0.1 fixture's base is only ~1800 vectors — an L_pq >= n pool holds

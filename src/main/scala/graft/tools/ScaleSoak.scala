@@ -154,16 +154,51 @@ object ScaleSoak {
     // re-paying the kNN, and the dist tier doesn't recompute it either.
     // A --searchOnly run never builds, so it skips the kNN entirely.
     val wantBuild = !a.contains("searchOnly")
+    // --trainKnn approx: IVF-pruned kNN prefix (KnnJoin.ivfApprox) — the
+    // bounded-cost path for the 10M regime, where the exact n·q·dim
+    // prefix dominates build wall. Parity with the reference, which
+    // consumes externally-built APPROXIMATE ground truth for this exact
+    // input (SURVEY.md A1). When the exact prefix file for the same
+    // (trainQ, mSq) exists on disk, the mean top-k overlap against it is
+    // measured and printed. --knnOnly exits after the prefix (+ report).
+    val trainKnnMode = a.getOrElse("trainKnn", "exact")
+    val exactKnnPath = s"$basePath.knn_${trainQ}_${params.mSq}"
     val knn = if (!wantBuild) None else {
-      val knnPath = s"$basePath.knn_${trainQ}_${params.mSq}"
+      val knnPath = trainKnnMode match {
+        case "exact" => exactKnnPath
+        case "approx" =>
+          s"$exactKnnPath.approx_${a.getOrElse("nlist", "1024")}_${a.getOrElse("nprobe", "64")}"
+        case other => sys.error(s"unknown --trainKnn mode: $other")
+      }
       if (!new java.io.File(s"$knnPath/_SUCCESS").exists()) {
         val tk = System.nanoTime()
-        KnnJoin(train, base, params.mSq, Metric.L2)
-          .select(col("query_id"), transform(col("knn"), _("id")).as("knn"))
+        val lists =
+          if (trainKnnMode == "exact") KnnJoin(train, base, params.mSq, Metric.L2)
+          else KnnJoin.ivfApprox(train, base, params.mSq, Metric.L2,
+            nlist = a.getOrElse("nlist", "1024").toInt,
+            nprobe = a.getOrElse("nprobe", "64").toInt)
+        lists.select(col("query_id"), transform(col("knn"), _("id")).as("knn"))
           .write.mode("overwrite").parquet(knnPath)
-        println(f"[soak] train->base kNN written in ${(System.nanoTime() - tk) / 1e9}%.1f s")
+        println(f"[soak] train->base kNN ($trainKnnMode) written in ${(System.nanoTime() - tk) / 1e9}%.1f s")
+      }
+      if (trainKnnMode == "approx" &&
+          new java.io.File(s"$exactKnnPath/_SUCCESS").exists()) {
+        val ex = spark.read.parquet(exactKnnPath)
+          .select(col("query_id"), col("knn").as("e"))
+        val ap = spark.read.parquet(knnPath)
+          .select(col("query_id"), col("knn").as("a"))
+        val agree = ex.join(ap, "query_id")
+          .select((size(array_intersect(col("e"), col("a"))).cast("double") /
+            size(col("e"))).as("ov"))
+          .agg(avg(col("ov"))).head().getDouble(0)
+        println(f"""[soak] {"knn_agreement":$agree%.4f,"k":${params.mSq},"mode":"$trainKnnMode"}""")
       }
       Some(spark.read.parquet(knnPath))
+    }
+    if (a.contains("knnOnly")) {
+      println("[soak] --knnOnly: prefix written; exiting before build")
+      spark.stop()
+      return
     }
 
     val tb = System.nanoTime()

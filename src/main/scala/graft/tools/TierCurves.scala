@@ -55,8 +55,11 @@ object TierCurves {
       .config("spark.ui.enabled", "false")
       // the kernel/pq tiers collect the at-rest index to the driver once
       // (adjacency + vectors / codes); at 4M x 200d that legitimately
-      // exceeds the 1g default result cap
-      .config("spark.driver.maxResultSize", "0")
+      // exceeds the 1g default result cap. A SIZED cap (not 0/unlimited —
+      // ADVICE r8) keeps the driver-OOM backstop: 16g covers the 4M x 200d
+      // collect (~3.2 GB vectors + adjacency) with slack; override
+      // --maxResultSize for bigger rungs
+      .config("spark.driver.maxResultSize", a.getOrElse("maxResultSize", "16g"))
       .config("spark.cleaner.periodicGC.interval", "60s")
       .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .getOrCreate()
@@ -92,9 +95,10 @@ object TierCurves {
       graft.eval.Eval.recallAtK(res.select(col("query_id"), col("ids")), gt, 10)
         .head().getAs[Double]("recall_at_k")
 
-    // Denser in-memory sweep (the reference sweeps 57 L_pq points,
-    // run_roargraph_search_test.sh:13); the bsp tier keeps its coarser
-    // (l, seeds) grid — each bsp point is a multi-round distributed job.
+    // Denser in-memory sweep (the reference sweeps a 56-point L_pq grid,
+    // 10..2000, run_roargraph_search_test.sh:13); the bsp tier keeps its
+    // coarser (l, seeds) grid — each bsp point is a multi-round
+    // distributed job.
     val lSweep = a.getOrElse("lSweep", "10,20,30,40,50,75,100,150,200,300")
       .split(",").map(_.trim.toInt).toSeq
     // the reference's sweep runs to L_pq 2000 (run_roargraph_search_test
@@ -105,6 +109,24 @@ object TierCurves {
     val lTail = a.getOrElse("lTail", "500,1000,2000")
       .split(",").filter(_.trim.nonEmpty).map(_.trim.toInt).toSeq
 
+    // --reps N: time each kernel/pq point N times and report the MEDIAN
+    // wall (ADVICE r8: single-run QPS at big rungs swings up to ~5x under
+    // GC/shuffle jitter; recall/cmps/hops are deterministic and unaffected).
+    // The result frame of the last reps run is returned for scoring.
+    val reps = a.getOrElse("reps", "1").toInt
+    def medianSec(run: () => org.apache.spark.sql.DataFrame)
+        : (Double, org.apache.spark.sql.DataFrame) = {
+      var last: org.apache.spark.sql.DataFrame = null
+      val secs = (0 until reps).map { _ =>
+        if (last != null) last.unpersist()
+        val t0 = System.nanoTime()
+        last = run().cache()
+        last.count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      (secs(secs.length / 2), last)
+    }
+
     if (tiers("kernel")) {
       println(s"[curves] loading index into the broadcast kernel")
       val idx = graft.ops.graph.GraphSearch.indexFromDist(di, bVecs)
@@ -113,11 +135,9 @@ object TierCurves {
       graft.build.RoarGraphBuilder.searchBatch(idx, eval,
         SearchParams(10, 10, di.metric)).count()
       for (l <- lSweep ++ lTail) {
-        val t0 = System.nanoTime()
-        val res = graft.build.RoarGraphBuilder.searchBatch(idx, eval,
-          SearchParams(k = 10, lPq = l, metric = di.metric)).cache()
-        res.count()
-        val sec = (System.nanoTime() - t0) / 1e9
+        val (sec, res) = medianSec(() =>
+          graft.build.RoarGraphBuilder.searchBatch(idx, eval,
+            SearchParams(k = 10, lPq = l, metric = di.metric)))
         val ch = res.agg(avg("cmps"), avg("hops")).head()
         record("kernel", l, 0, sec, recallOf(res),
           Some(ch.getDouble(0)), Some(ch.getDouble(1)))
@@ -142,12 +162,10 @@ object TierCurves {
         s"codes ${pqIdx.codeBytes / (1 << 20)} MiB vs raw " +
         s"${pqIdx.rawBytes / (1 << 20)} MiB")
       for (l <- lSweep ++ lTail) {
-        val t0 = System.nanoTime()
-        val res = graft.ops.graph.PqGraphSearch.searchRefined(pqIdx, eval,
-          bVecs, k = 10, l = l, refineK = math.min(pqRefine, l),
-          numSeeds = pqSeeds).cache()
-        res.count()
-        val sec = (System.nanoTime() - t0) / 1e9
+        val (sec, res) = medianSec(() =>
+          graft.ops.graph.PqGraphSearch.searchRefined(pqIdx, eval,
+            bVecs, k = 10, l = l, refineK = math.min(pqRefine, l),
+            numSeeds = pqSeeds))
         val ch = res.agg(avg("cmps"), avg("hops")).head()
         record("pq", l, pqSeeds, sec,
           recallOf(res.select(col("query_id"),

@@ -53,6 +53,56 @@ class KnnJoinSpec extends SparkSpec {
     }
   }
 
+  test("ivfApprox at nprobe == nlist is row-identical to the exact join") {
+    // full probe scores every (query, base) pair through the same widen /
+    // distD / BoundedTopK kernel — the result must be the exact join's,
+    // row for row, including (dist, id) tie-breaks
+    val emb = Tables.vectors(spark, sf0001)
+    val q = emb.filter(col("id") < 10)
+    val b = emb.filter(col("id") >= 10)
+    for (metric <- Seq(Metric.L2, Metric.Cosine)) {
+      val exact = KnnJoin.explodeRanks(KnnJoin(q, b, 5, metric))
+        .select("query_id", "rank", "base_id")
+      val full = KnnJoin.explodeRanks(
+        KnnJoin.ivfApprox(q, b, 5, metric, nlist = 8, nprobe = 8, kmIters = 2))
+        .select("query_id", "rank", "base_id")
+      assert(full.exceptAll(exact).isEmpty && exact.exceptAll(full).isEmpty,
+        s"full-probe ivfApprox != exact join for $metric")
+    }
+  }
+
+  test("ivfApprox under partial probing keeps high agreement with exact") {
+    // clustered corpus (the geometry IVF exists for): probing a quarter of
+    // the lists must retain >= 0.9 mean overlap with the exact top-k
+    import spark.implicits._
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def unit(h: Long): Float =
+      ((h >>> 11).toDouble / (1L << 53).toDouble).toFloat * 2f - 1f
+    def vec(id: Long, seed: Long): Array[Float] = {
+      val c = id % 8
+      Array.tabulate(16)(j =>
+        unit(mix(c * 131071L + j)) + 1.0f * unit(mix(seed ^ (id * 8191L + j))))
+    }
+    val b = spark.range(4000).map(i => (i, vec(i, 0xB0L))).toDF("id", "vec")
+    val q = spark.range(64).map(i => (i + 100000L, vec(i * 7L, 0x70L)))
+      .toDF("id", "vec")
+    val k = 10
+    val exact = KnnJoin(q, b, k, Metric.L2)
+      .select(col("query_id"), transform(col("knn"), _("id")).as("e"))
+    val approx = KnnJoin.ivfApprox(q, b, k, Metric.L2,
+      nlist = 32, nprobe = 8, kmIters = 3)
+      .select(col("query_id"), transform(col("knn"), _("id")).as("a"))
+    val agree = exact.join(approx, "query_id")
+      .select(size(array_intersect(col("e"), col("a"))).as("ov"))
+      .agg(avg(col("ov"))).head().getDouble(0) / k
+    assert(agree >= 0.9, f"ivfApprox agreement $agree%.3f < 0.9 at nprobe/nlist = 1/4")
+  }
+
   test("BoundedTopK keeps k smallest with (dist, id) tie-break") {
     val h = new KnnJoin.BoundedTopK(3)
     Seq((5.0, 1L), (1.0, 9L), (1.0, 2L), (3.0, 7L), (0.5, 4L), (9.0, 0L))

@@ -1,7 +1,7 @@
 #!/bin/bash
 # Per-tier QPS-vs-recall curves over the persisted 2M x 128d (32,48)
 # bucketed layout written by tools/run_soak_2m.sh --mPjbp 32 --lPjpq 48.
-# The kernel and pq tiers sweep the reference's FULL 57-point L_pq grid
+# The kernel and pq tiers sweep the reference's FULL 56-point L_pq grid
 # (run_roargraph_search_test.sh:13 — 10..2000) so the curve is sampled
 # exactly where the reference samples it; the in-RAM index at
 # 2M x 128d (~1 GiB vectors + adjacency) needs the 12 GiB heap. The pq

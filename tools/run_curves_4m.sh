@@ -1,7 +1,7 @@
 #!/bin/bash
 # Per-tier QPS-vs-recall curves over the persisted 4M x 200d (24,32)
 # bucketed layout written by tools/run_soak_4m.sh — the largest rung.
-# The kernel and pq tiers sweep the reference's FULL 57-point L_pq grid
+# The kernel and pq tiers sweep the reference's FULL 56-point L_pq grid
 # (run_roargraph_search_test.sh:13 — 10..2000), so the curve shape is
 # sampled exactly where the reference samples it, tail included; the
 # in-RAM index at 4M x 200d (~3.3 GiB vectors + ~1.3 GiB adjacency)
