@@ -24,6 +24,18 @@ object QueriesVector {
       .select(col("query_id"), col("rank"), col("base_id"))
       .orderBy(col("query_id"), col("rank"))
 
+  // IVF-pruned approximate kNN (the bounded 10M-prefix path) at FULL
+  // probe: routing becomes a partition of the scored pairs, so the result
+  // is row-identical to the exact join and the whole routed kernel
+  // (k-means lists, probe sets, per-list scoring) is pinned to the SQL
+  // oracle float-for-float; partial-probe agreement is spec-measured
+  // (KnnJoinSpec) and soak-measured at 2M.
+  private def knnIvfApproxQuery(s: SparkSession, dir: String): DataFrame =
+    KnnJoin.explodeRanks(KnnJoin.ivfApprox(qSide(s, dir), bSide(s, dir), 10,
+      Metric.L2, nlist = 8, nprobe = 8, kmIters = 2))
+      .select(col("query_id"), col("rank"), col("base_id"))
+      .orderBy(col("query_id"), col("rank"))
+
   private def knnOracle(distExpr: String): String =
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
        |b AS (SELECT vec_id AS bid, embedding AS be FROM embeddings WHERE vec_id >= 20),
@@ -284,6 +296,7 @@ object QueriesVector {
     "knn_l2" -> knnQuery(Metric.L2) _,
     "knn_ip" -> knnQuery(Metric.InnerProduct) _,
     "knn_cosine" -> knnQuery(Metric.Cosine) _,
+    "knn_ivf_approx" -> (knnIvfApproxQuery _),
     "vec_centroid" -> (centroidQuery _),
     "vec_entry_point" -> (entryPointQuery _),
     "vec_mean_pool" -> (meanPoolQuery _),
@@ -299,6 +312,7 @@ object QueriesVector {
     "knn_l2" -> knnOracle(l2SqlDist),
     "knn_ip" -> knnOracle(ipSqlDist),
     "knn_cosine" -> knnOracle(cosSqlDist),
+    "knn_ivf_approx" -> knnOracle(l2SqlDist),
     "vec_centroid" -> centroidOracle,
     "vec_entry_point" -> entryPointOracle,
     "vec_mean_pool" -> meanPoolOracle,
