@@ -81,9 +81,14 @@ object PqGraphSearch {
 
     val nRows = vectors.count()
     val step = math.max(1L, nRows / trainCap)
+    // hash-sampled, not strided: a stride aliases with periodic id
+    // structure (measured on KnnJoin.ivfApprox — the 2M soak corpus's
+    // id-mod-16 clusters aliased a step-30 stride to even clusters only,
+    // costing 13 points of routing agreement); the hash sample is
+    // deterministic and structure-free
     val trainDf =
       if (step == 1L) vectors
-      else vectors.filter(pmod(col("id").cast("long"), lit(step)) === 0L)
+      else vectors.filter(pmod(xxhash64(col("id").cast("long")), lit(step)) === 0L)
     val cb = Quantize.pqTrain(trainDf, m, kCodes, iters).cache()
     val idx = fromPrecomputed(adj, Quantize.pqEncodeKernel(vectors, cb, m),
       cb, ep, metric)
