@@ -11,7 +11,7 @@ OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio java.util java.util.concurrent java.util.concurrent.atomic sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-SPARK_GRAFT_CPUS=16 java -Xmx8g $OPENS -XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64 \
+SPARK_GRAFT_CPUS=16 java -Xmx12g $OPENS -XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64 \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
   graft.tools.ScaleSoak --n 2000000 --dim 128 --trainQ 200000 --mSq 32 \
   --trainKnn approx --nlist 2048 --nprobe 256 --knnOnly \
