@@ -175,6 +175,41 @@ object KnnJoin {
     }
   }
 
+  /** Per-block centroid→query-indices index for [[ivfApprox]], built by
+    * counting sort over primitive arrays (no boxing) and memoized on the
+    * block's query array so the JVM's concurrent tasks share ONE copy;
+    * weak keys let the index die with its broadcast block. */
+  private val centIndexMemo =
+    new java.util.WeakHashMap[AnyRef, Array[Array[Int]]]()
+  private def centIndexFor(qs: Array[(Long, Array[Double], Array[Int])],
+                           nlist: Int): Array[Array[Int]] =
+    centIndexMemo.synchronized {
+      var idx = centIndexMemo.get(qs)
+      if (idx == null) {
+        val counts = new Array[Int](nlist)
+        var qi = 0
+        while (qi < qs.length) {
+          val ps = qs(qi)._3
+          var j = 0
+          while (j < ps.length) { counts(ps(j)) += 1; j += 1 }
+          qi += 1
+        }
+        idx = Array.tabulate(nlist)(c => new Array[Int](counts(c)))
+        val fill = new Array[Int](nlist)
+        qi = 0
+        while (qi < qs.length) {
+          val ps = qs(qi)._3
+          var j = 0
+          while (j < ps.length) {
+            val c = ps(j); idx(c)(fill(c)) = qi; fill(c) += 1; j += 1
+          }
+          qi += 1
+        }
+        centIndexMemo.put(qs, idx)
+      }
+      idx
+    }
+
   /** Approximate kNN join via IVF candidate pruning — the bounded-cost
     * path for the build prefix at 10M+ scale (VERDICT r8 #5). The
     * reference itself consumes EXTERNALLY-built approximate ground truth
@@ -259,15 +294,13 @@ object KnnJoin {
       routed.mapPartitions { it =>
         val qs = bc.value
         // centroid → indices of the block's queries probing it, so a base
-        // row costs exactly |queries probing its list| distance evals
-        val byCent = {
-          val buf = Array.fill(nlist)(new scala.collection.mutable.ArrayBuffer[Int]())
-          var qi = 0
-          while (qi < qs.length) {
-            qs(qi)._3.foreach(c => buf(c) += qi); qi += 1
-          }
-          buf.map(_.toArray)
-        }
+        // row costs exactly |queries probing its list| distance evals.
+        // Built ONCE per broadcast block and shared by every task
+        // (memoized on the block array): at 100k queries × 256 probes
+        // this index is ~100 MB of ints — per-task construction (and the
+        // boxed buffers it used) OOM'd a 12 GiB heap at 16 concurrent
+        // tasks; the counting-sort build below allocates primitives only
+        val byCent = centIndexFor(qs, nlist)
         val heaps = Array.fill(qs.length)(new BoundedTopK(k))
         it.foreach { case (bid, bvec, cid) =>
           val probing = byCent(cid)
