@@ -111,7 +111,15 @@ object KnnJoin {
     * `partial(bc)` must return a [query_id: long,
     * partial: array<struct<_1: double, _2: long>>] DataFrame of per-block
     * per-partition partial top-k rows. The returned DataFrame is already
-    * materialized (a union of per-block cuts). */
+    * materialized (a union of per-block cuts).
+    *
+    * PRECONDITION: query ids must be UNIQUE across the whole drain.
+    * Blocks tile the iterator by POSITION, not by id, so a duplicated id
+    * that lands in two blocks produces two output rows (one per-block
+    * top-k each) instead of one globally merged top-k. Every current
+    * caller ([[apply]], [[ivfApprox]], Quantize.adcTopK) feeds ids from
+    * an `id` key column, which satisfies this; a new caller with
+    * duplicate ids must pre-merge them. */
   private[graft] def blockedTopK[Q](spark: org.apache.spark.sql.SparkSession,
       qIt: Iterator[Q], blockRows: Int, k: Int, emptyMsg: String)(
       partial: org.apache.spark.broadcast.Broadcast[Array[Q]] => DataFrame)(
@@ -175,6 +183,22 @@ object KnnJoin {
     }
   }
 
+  /** The `nprobe` nearest centroids of `raw` by raw-space L2, ties by
+    * ascending centroid id — the IVF coarse-quantization step of
+    * [[ivfApprox]], a pure function of (vector, centroid grid) so the
+    * distributed assignment pass and any driver-side check agree
+    * exactly (spec-gated). */
+  private[graft] def probesFor(raw: Array[Double],
+                               centsD: Array[Array[Double]],
+                               nprobe: Int): Array[Int] = {
+    val heap = new BoundedTopK(nprobe)
+    var c = 0
+    while (c < centsD.length) {
+      heap.push(distD(Metric.L2, raw, centsD(c)), c.toLong); c += 1
+    }
+    heap.result().map(_._2.toInt)
+  }
+
   /** Per-block centroid→query-indices index for [[ivfApprox]], built by
     * counting sort over primitive arrays (no boxing) and memoized on the
     * block's query array so the JVM's concurrent tasks share ONE copy;
@@ -220,18 +244,36 @@ object KnnJoin {
     * Same blocked heap kernel as the exact join — the base side streams
     * through executors once per query block and only partial top-k rows
     * shuffle — but each base row is scored ONLY against the queries whose
-    * probe set contains the row's IVF list: a deterministic k-means over
-    * a sample routes every base row to its nearest centroid (one extra
-    * map pass over the base, nlist·dim flops/row), each query probes its
-    * `nprobe` nearest centroids, and the per-partition loop walks a
-    * centroid→queries index so total distance work is the probed
-    * fraction (~nprobe/nlist) of the exact join's n·q·dim. Routing is
-    * raw-space L2 for every metric (the standard IVF coarse quantizer;
-    * for cosine the scoring still normalizes exactly like the exact
-    * join). With nprobe == nlist every pair is scored and the result is
-    * row-identical to [[apply]] (spec-gated); below that, recall is
-    * measured, not assumed (IvfApproxKnnSpec + the soak's agreement
-    * report). */
+    * probe set contains the row's IVF list: a k-means over a sample
+    * routes every base row to its nearest centroid (one extra map pass
+    * over the base, nlist·dim flops/row), each query probes its `nprobe`
+    * nearest centroids (computed DISTRIBUTED, one mapPartitions pass
+    * against the broadcast centroid grid, before the driver drains query
+    * blocks — at the 10M regime a driver-side q·nlist·dim loop would be
+    * ~1-2 h of serial work in front of the scan), and the per-partition
+    * loop walks a centroid→queries index so total distance work is the
+    * probed fraction (~nprobe/nlist) of the exact join's n·q·dim.
+    * Routing is raw-space L2 for every metric (the standard IVF coarse
+    * quantizer; for cosine the scoring still normalizes exactly like the
+    * exact join). With nprobe == nlist every pair is scored and the
+    * result is row-identical to [[apply]] (spec-gated); below that,
+    * recall is measured, not assumed (KnnJoinSpec + the soak's agreement
+    * report).
+    *
+    * Determinism: the trainer is seed-deterministic up to float
+    * aggregation order — AnnSearch.kMeans updates centroids via a
+    * distributed float mean whose summation order follows partitioning,
+    * so codebooks (hence routing, hence PARTIAL-probe results) can vary
+    * in the last ulp between runs/partitionings. The FULL-probe path is
+    * result-stable by construction (every pair scored). Per-query
+    * results never depend on query-side partitioning or block
+    * composition (spec-gated).
+    *
+    * Coverage: every query id appears in the output exactly once. A
+    * query whose probed lists contain no base rows gets an EMPTY `knn`
+    * array (never a silently missing row — a dropped row would silently
+    * lose the query's phase-1 edges downstream and overstate
+    * inner-join agreement metrics). */
   def ivfApprox(queries: DataFrame, base: DataFrame, k: Int, metric: Metric,
                 nlist: Int = 1024, nprobe: Int = 64, kmIters: Int = 4,
                 trainCap: Int = 65536,
@@ -271,23 +313,24 @@ object KnnJoin {
         .as[(Long, Array[Float], Int)])
 
     val norm = metric.needNormalize
-    def probesFor(v: Array[Double]): Array[Int] = {
-      // nprobe nearest centroids by raw-space L2, ties by centroid id —
-      // driver-side per query (nlist·dim flops, trivial next to the scan)
-      val heap = new BoundedTopK(nprobe)
-      var c = 0
-      while (c < centsD.length) {
-        heap.push(distD(Metric.L2, v, centsD(c)), c.toLong); c += 1
-      }
-      heap.result().map(_._2.toInt)
-    }
+    // probe assignment runs DISTRIBUTED (one mapPartitions pass over the
+    // queries against the broadcast centroid grid — the same shape
+    // assignToCentroidsKernel uses for base rows), so the driver's drain
+    // only deserializes (id, vec, probes) rows; the q·nlist·dim mul-adds
+    // are executor work. Probe sets are deterministic per query
+    // (BoundedTopK over (dist, centroid id)) regardless of partitioning.
+    val centsBc = spark.sparkContext.broadcast(centsD)
     import scala.jdk.CollectionConverters._
     val qIt = queries.select(col("id").cast("long"), col("vec"))
-      .as[(Long, Array[Float])].toLocalIterator().asScala
-      .map { case (id, v) =>
-        val raw = widen(v, normalize = false)
-        (id, if (norm) widen(v, normalize = true) else raw, probesFor(raw))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cd = centsBc.value
+        it.map { case (id, v) =>
+          (id, v, probesFor(widen(v, normalize = false), cd, nprobe))
+        }
       }
+      .toLocalIterator().asScala
+      .map { case (id, v, ps) => (id, widen(v, norm), ps) }
 
     val out = blockedTopK(spark, qIt, queryBlockRows, k,
       "IVF kNN join: empty query set") { bc =>
@@ -321,7 +364,24 @@ object KnnJoin {
       }.toDF("query_id", "partial")
     }
     releaseRouted() // blockedTopK returns materialized; the routing is dead
-    out
+    centsBc.destroy() // the drain is complete; the centroid grid is dead
+    ensureQueryCoverage(queries, out)
+  }
+
+  /** Re-attach queries missing from a kNN result as rows with an EMPTY
+    * `knn` array (one left join keyed on the small query side; a no-op
+    * when nothing was dropped). [[ivfApprox]] under partial probing can
+    * find no base rows for a query whose probed lists are all empty —
+    * a silently missing row would lose the query's phase-1 edges
+    * downstream and overstate inner-join agreement metrics, an empty
+    * row is a detectable coverage gap. */
+  private[graft] def ensureQueryCoverage(queries: DataFrame,
+                                         out: DataFrame): DataFrame = {
+    val knnType = out.schema("knn").dataType
+    queries.select(col("id").cast("long").as("query_id"))
+      .join(out, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("knn"), array().cast(knnType)).as("knn"))
   }
 
   /** Reference implementation via crossJoin + window — the oracle-shaped

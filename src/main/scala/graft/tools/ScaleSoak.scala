@@ -183,13 +183,16 @@ object ScaleSoak {
       }
       if (trainKnnMode == "approx" &&
           new java.io.File(s"$exactKnnPath/_SUCCESS").exists()) {
+        // LEFT join from the exact side with zero credit for queries the
+        // approx file lacks or left empty — an inner join would silently
+        // exclude coverage gaps from the mean and overstate agreement
         val ex = spark.read.parquet(exactKnnPath)
           .select(col("query_id"), col("knn").as("e"))
         val ap = spark.read.parquet(knnPath)
           .select(col("query_id"), col("knn").as("a"))
-        val agree = ex.join(ap, "query_id")
-          .select((size(array_intersect(col("e"), col("a"))).cast("double") /
-            size(col("e"))).as("ov"))
+        val agree = ex.join(ap, Seq("query_id"), "left")
+          .select((coalesce(size(array_intersect(col("e"), col("a"))), lit(0))
+            .cast("double") / size(col("e"))).as("ov"))
           .agg(avg(col("ov"))).head().getDouble(0)
         println(f"""[soak] {"knn_agreement":$agree%.4f,"k":${params.mSq},"mode":"$trainKnnMode"}""")
       }

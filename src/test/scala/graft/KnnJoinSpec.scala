@@ -103,6 +103,66 @@ class KnnJoinSpec extends SparkSpec {
     assert(agree >= 0.9, f"ivfApprox agreement $agree%.3f < 0.9 at nprobe/nlist = 1/4")
   }
 
+  test("ivfApprox is invariant to query-side partitioning (distributed " +
+      "probe assignment == any drain order)") {
+    // probe sets are a pure function of (vector, centroid grid), so the
+    // mapPartitions assignment pass must yield per-query results
+    // independent of how the query side is partitioned / drained
+    val emb = Tables.vectors(spark, sf0001)
+    val q = emb.filter(col("id") < 16)
+    val b = emb.filter(col("id") >= 16)
+    val one = KnnJoin.explodeRanks(KnnJoin.ivfApprox(
+      q, b, 5, Metric.L2, nlist = 8, nprobe = 3, kmIters = 2))
+      .select("query_id", "rank", "base_id")
+    val rep = KnnJoin.explodeRanks(KnnJoin.ivfApprox(
+      q.repartition(7), b, 5, Metric.L2, nlist = 8, nprobe = 3, kmIters = 2))
+      .select("query_id", "rank", "base_id")
+    assert(one.exceptAll(rep).isEmpty && rep.exceptAll(one).isEmpty,
+      "ivfApprox results changed under query repartitioning")
+  }
+
+  test("probesFor picks the nprobe nearest centroids, ties by centroid id") {
+    val cents = Array(
+      Array(0.0, 0.0), Array(1.0, 0.0), Array(0.0, 1.0), Array(1.0, 0.0))
+    // query at origin: dists 0, 1, 1, 1 -> top-3 = centroid 0, then the
+    // dist-1 tie breaks ascending id: 1, 2 (never 3)
+    val ps = KnnJoin.probesFor(Array(0.0, 0.0), cents, 3)
+    assert(ps.toSeq == Seq(0, 1, 2))
+  }
+
+  test("ivfApprox emits exactly one row per query id (coverage)") {
+    import spark.implicits._
+    val b = spark.range(200).map(i => (i, Array(i.toFloat, 1f)))
+      .toDF("id", "vec")
+    val q = spark.range(32).map(i => (i + 1000L, Array(i * 6f, 1f)))
+      .toDF("id", "vec")
+    val out = KnnJoin.ivfApprox(q, b, 5, Metric.L2,
+      nlist = 16, nprobe = 2, kmIters = 2)
+    val ids = out.select("query_id").as[Long].collect().sorted
+    assert(ids.toSeq == (1000L until 1032L).toSeq,
+      "ivfApprox must cover every query id exactly once")
+  }
+
+  test("ensureQueryCoverage re-attaches dropped queries with an empty knn") {
+    import spark.implicits._
+    val q = spark.range(4).map(i => (i, Array(i.toFloat))).toDF("id", "vec")
+    val partial = Seq((0L, Seq((1.5, 7L))), (2L, Seq((0.5, 3L))))
+      .toDF("query_id", "knn0")
+      .select(col("query_id"),
+        transform(col("knn0"),
+          x => struct(x("_1").as("dist"), x("_2").as("id"))).as("knn"))
+    val covered = KnnJoin.ensureQueryCoverage(q, partial)
+      .orderBy("query_id").collect()
+    assert(covered.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    val sizes = covered.map(
+      _.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("knn").length)
+    assert(sizes.toSeq == Seq(1, 0, 1, 0),
+      "dropped queries must carry an EMPTY knn array")
+    // the filled rows keep the result schema (dist: double, id: long)
+    assert(covered(0).schema("knn").dataType ==
+      partial.schema("knn").dataType)
+  }
+
   test("BoundedTopK keeps k smallest with (dist, id) tie-break") {
     val h = new KnnJoin.BoundedTopK(3)
     Seq((5.0, 1L), (1.0, 9L), (1.0, 2L), (3.0, 7L), (0.5, 4L), (9.0, 0L))
