@@ -296,6 +296,48 @@ object DistRoarGraphBuilder {
     DistIndex(repaired, ep, metric, Some(3 * params.mPjbp))
   }
 
+  /** Post-hoc reachability repair of an ALREADY-BUILT layout — the
+    * operational form of the build-time repair pass: verify reachability
+    * from the layout's entry point and, if orphans exist, attach them
+    * through the same convergent machinery the build uses (bounded beam
+    * rounds + the exact-kNN backstop, BFS-verified after every attach),
+    * WITHOUT rebuilding. At 100 TB an index is days of cluster work;
+    * connectivity damage (a partial write, a layout built before the
+    * backstop landed, post-hoc node deletion) is repairable at
+    * |orphans|-bounded cost instead. The degree cap is the LAYOUT's own
+    * persisted cap (this builder writes 3·mPjbp; m is recovered as
+    * cap/3, same absorption discipline as the build-time pass); cosine
+    * layouts are repaired in the same normalize-then-IP lowering the
+    * build used. A clean layout costs one verification BFS and returns
+    * unchanged adjacency. Returns the repaired index (caller
+    * re-persists, e.g. GraphIO.saveDistBucketed). */
+  def repairLayout(di: DistIndex, vectors: DataFrame,
+                   frontierWidth: Int = 8, maxRounds: Int = 64): DistIndex = {
+    val spark = di.adj.sparkSession
+    val cap = di.degreeCap.getOrElse(sys.error(
+      "repairLayout needs the layout's persisted degree cap (pre-cap " +
+        "layouts carry none — rebuild or supply the cap by re-saving)"))
+    require(cap >= 3 && cap % 3 == 0,
+      s"degree cap $cap is not the builder's 3*m shape")
+    val m = cap / 3
+    val metric = di.metric
+    val scoreMetric = if (metric.needNormalize) Metric.InnerProduct else metric
+    val vecsN =
+      if (!metric.needNormalize)
+        vectors.select(col("id").cast("long"), col("vec"))
+      else vectors.select(col("id").cast("long"),
+        transform(VectorFunctions.l2Normalize(col("vec")), _.cast("float"))
+          .as("vec"))
+    val baseN = vecsN.persist(StorageLevel.MEMORY_AND_DISK)
+    baseN.count()
+    val adj0 = di.adj.select(col("src").cast("long"),
+      col("nbrs").cast("array<bigint>").as("nbrs"))
+    val repaired = repair(adj0, baseN, di.ep, scoreMetric, m,
+      frontierWidth, maxRounds)
+    baseN.unpersist()
+    di.copy(adj = repaired)
+  }
+
   /** How many repair in-edges each unreached node asks for, and the cap
     * on repair edges any single source absorbs per round. The per-source
     * cap bounds hub fan-in when a whole island's members pick the same

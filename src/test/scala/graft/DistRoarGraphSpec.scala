@@ -274,6 +274,77 @@ class DistRoarGraphSpec extends SparkSpec {
     } finally sys.props -= "graft.repair.disableBeams"
   }
 
+  test("repairLayout reconnects a damaged PERSISTED layout without rebuild") {
+    import spark.implicits._
+    // post-hoc repair (the operational form of the build-time pass):
+    // build a healthy index, DAMAGE it by stripping every in-edge of a
+    // victim set (the shape of a partial write or post-hoc deletion),
+    // round-trip through the bucketed serving layout, then repair the
+    // loaded layout in place — reachability must return to 100% under
+    // the layout's OWN persisted degree cap, no rebuild.
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def unit(h: Long): Float =
+      ((h >>> 11).toDouble / (1L << 53).toDouble).toFloat * 2f - 1f
+    def vec(id: Long, seed: Long): Array[Float] = {
+      val c = id % 16
+      Array.tabulate(16)(j =>
+        4f * unit(mix(c * 131071L + j)) + 0.25f * unit(mix(seed ^ (id * 8191L + j))))
+    }
+    val b = spark.range(1500).map(i => (i, vec(i, 0xB0L))).toDF("id", "vec")
+    val t = spark.range(120).map(i => (i + 100000L, vec(i * 13L, 0x70L)))
+      .toDF("id", "vec")
+    val p = BuildParams(mSq = 16, mPjbp = 8, lPjpq = 24, metric = Metric.L2)
+
+    def reachableFrom(di: graft.build.DistIndex): Int = {
+      val adj = di.adj.as[(Long, Seq[Long])].collect().toMap
+      val seen = scala.collection.mutable.Set(di.ep)
+      var stack = List(di.ep)
+      while (stack.nonEmpty) {
+        val cur = stack.head; stack = stack.tail
+        adj.getOrElse(cur, Seq.empty).foreach { nb =>
+          if (seen.add(nb)) stack = nb :: stack
+        }
+      }
+      seen.size
+    }
+
+    val healthy = DistRoarGraphBuilder.build(b, t, p)
+    assert(reachableFrom(healthy) == 1500, "fixture build not fully reachable")
+    val victims = (1200L until 1250L).filterNot(_ == healthy.ep).toSet
+    val damaged = healthy.copy(adj = healthy.adj.as[(Long, Seq[Long])]
+      .map { case (src, nbrs) => (src, nbrs.filterNot(victims.contains)) }
+      .toDF("src", "nbrs"))
+
+    val db = "graft_repair_layout_spec"
+    try {
+      graft.ops.graph.GraphIO.saveDistBucketed(damaged, b, db, buckets = 4)(spark)
+      val (loaded, vecs) = graft.ops.graph.GraphIO.loadDistBucketed(db)(spark)
+      // every victim is orphaned, plus any node whose only in-path ran
+      // through a victim (cascade) — so <=, not ==
+      assert(reachableFrom(loaded) <= 1500 - victims.size,
+        "damage did not orphan the victim set")
+      val repaired = DistRoarGraphBuilder.repairLayout(loaded, vecs)
+      assert(reachableFrom(repaired) == 1500,
+        "repairLayout left unreachable nodes")
+      val cap = loaded.degreeCap.get
+      val maxDeg = repaired.adj.select(max(size(col("nbrs")))).head().getInt(0)
+      assert(maxDeg <= cap,
+        s"repairLayout blew the layout's persisted cap: $maxDeg > $cap")
+      // idempotence: a clean layout costs one verification BFS and comes
+      // back adjacency-identical
+      val again = DistRoarGraphBuilder.repairLayout(
+        repaired.copy(degreeCap = Some(cap)), vecs)
+      val x = repaired.adj.as[(Long, Seq[Long])].collect().sortBy(_._1)
+      val y = again.adj.as[(Long, Seq[Long])].collect().sortBy(_._1)
+      assert(x.sameElements(y), "repairLayout modified a clean layout")
+    } finally spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+  }
+
   test("no driver materialization of vectors or adjacency in the build source") {
     // the structural point of the distributed path: the only permitted
     // driver-side actions are scalar aggregates (centroid row, entry-point
