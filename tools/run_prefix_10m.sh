@@ -1,0 +1,24 @@
+#!/bin/bash
+# 10M x 200d train-kNN prefix — the reference's PRIMARY regime
+# (prepare_data.sh:22-28) at its 5% train ratio (500k train queries),
+# runnable for the first time because the prefix goes through
+# KnnJoin.ivfApprox (VERDICT r9 task 2): exact would be ~1e15 mul-adds
+# ~ 24 h at this box's measured 0.7-1.1e10 mul-adds/s; at 12.5% probe
+# the scan term drops 8x -> ~4-6 h including routing + k-means, with
+# probe assignment now a distributed mapPartitions pass (round 10).
+# nlist 4096 ~ sqrt(n); nprobe 512 keeps the 12.5% probe fraction whose
+# agreement measured 1.0000 at the 2M rung (SCALE.md approx table).
+# --knnOnly exits after the prefix: the committed artifact is the
+# learn_base_knn parquet under target/soak10m plus the agreement sample
+# if an exact slice exists. The round-11 build then starts on day one.
+# Heap 24g: query blocks are 500k x 200d ~ 400 MB plus per-block heaps;
+# base rows stream from parquet and are never resident.
+OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio java.util java.util.concurrent java.util.concurrent.atomic sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+SPARK_GRAFT_CPUS=24 java -Xmx24g $OPENS -XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64 \
+  -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+  graft.tools.ScaleSoak --n 10000000 --dim 200 --trainQ 500000 --mSq 32 \
+  --trainKnn approx --nlist 4096 --nprobe 512 --knnOnly \
+  --shuffle 256 --tier dist --out target/soak10m --db graft_soak_10m "$@"
