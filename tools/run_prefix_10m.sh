@@ -13,6 +13,20 @@
 # if an exact slice exists. The round-11 build then starts on day one.
 # Heap 24g: query blocks are 500k x 200d ~ 400 MB plus per-block heaps;
 # base rows stream from parquet and are never resident.
+#
+# --mSq 32 is a DELIBERATE deviation from the reference's 10M run
+# (run_roargraph_test.sh uses M_sq 100). Rationale: (a) every measured
+# rung on this box (1M/2M/4M, SCALE.md) was built from an mSq=32
+# prefix, so 32 keeps the 10M rung comparable to the scaling series;
+# (b) quality at mSq=32 with (48,96)-class build knobs is pinned by
+# MEASUREMENT, not extrapolation: the 2M rung built from an mSq=32
+# prefix reaches recall@10 0.8880 at l=1000 / 0.9450 at l=2000
+# (results/curves_48_96_2m.csv) — the bipartite out-degree is not
+# the binding quality lever at these knobs, degree/train are (both
+# measured to saturation, SCALE.md); (c) k=100
+# would grow the prefix output 3.1x (50M vs 16M rows) and per-query
+# heap-pop cost for zero measured benefit. The artifact name bakes
+# mSq in, so a future k=100 prefix coexists rather than clobbers.
 OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio java.util java.util.concurrent java.util.concurrent.atomic sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
