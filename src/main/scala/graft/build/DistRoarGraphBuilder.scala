@@ -96,6 +96,54 @@ object DistRoarGraphBuilder {
     case _         => "ip" // cosine inputs are pre-normalized below
   }
 
+  private def hasSuccess(path: String): Boolean =
+    new java.io.File(s"$path/_SUCCESS").exists()
+
+  /** Durable variant of [[graft.ops.graph.PlanUtil.cutDFReleasable]]: when a
+    * checkpoint dir is given, the stage's output is materialized as parquet
+    * under `dir/name` (the write IS the eager cut) and read back with a
+    * fresh lineage; a later build pointed at the same dir skips the stage's
+    * compute entirely (`_SUCCESS` gate — a kill mid-write leaves no marker,
+    * so overwrite-on-resume is safe). `df` is by-name: on a checkpoint hit
+    * the stage plan is never even constructed. Without a dir this is the
+    * in-session localCheckpoint cut, unchanged. At 100 TB a build is days
+    * of cluster work; this is what makes it PREEMPTIBLE — the same
+    * contract as Spark's own reliable checkpoint, but name-addressed so an
+    * entirely new driver JVM (a new cluster allocation) can resume. */
+  private def durableCut(dir: Option[String], name: String)
+                        (df: => DataFrame)
+                        (implicit spark: org.apache.spark.sql.SparkSession)
+      : (DataFrame, () => Unit) = dir match {
+    case None => graft.ops.graph.PlanUtil.cutDFReleasable(df)
+    case Some(d) =>
+      val path = s"$d/$name"
+      if (hasSuccess(path))
+        println(s"[dist-build] $name: checkpoint hit ($path)")
+      else
+        df.write.mode("overwrite").parquet(path)
+      (spark.read.parquet(path), () => ())
+  }
+
+  /** Refuse to resume a checkpoint dir written under different build knobs
+    * — stale stage outputs would silently corrupt the index. The corpus /
+    * train-set identity is the CALLER's contract (encode them in the dir
+    * name, as ScaleSoak does); the knobs that change stage dataflow are
+    * guarded here. */
+  private def guardFingerprint(dir: String, fp: String): Unit = {
+    val f = new java.io.File(dir, "FINGERPRINT")
+    if (f.exists()) {
+      val prev = new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      require(prev == fp,
+        s"checkpoint dir $dir was written with knobs '$prev'; this build " +
+          s"has '$fp' — refusing to mix stage outputs across knob sets")
+    } else {
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath,
+        fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
   /** Build. `base`/`queries` expose (id, vec: array<float>);
     * `precomputedKnn`, if given, is [query_id, knn: array<long>] of
     * EXTERNAL base ids sorted by distance (the S5 LoadLearnBaseKNN input).
@@ -104,15 +152,26 @@ object DistRoarGraphBuilder {
     * entry nodes (BspBeamSearch.pickSeeds — a bounded id list, the same
     * driver-scalar class as the entry point): on clustered corpora whose
     * sparse phase-1 projection strands single-ep beams, seed diversity is
-    * what lets every node's self-search actually reach its neighborhood. */
+    * what lets every node's self-search actually reach its neighborhood.
+    * `checkpointDir`, if given, makes the build PREEMPTIBLE: the phase-1
+    * projection, every phase-2 self-search batch, and the pre-repair
+    * merged adjacency are persisted as name-addressed parquet stages under
+    * that dir, and a later build() with the same dir + knobs (guarded by a
+    * FINGERPRINT file) resumes after the last completed stage — the
+    * multi-day-cluster-job answer to preemption/round boundaries. Resume
+    * is EXACT (checkpointed == fresh is spec-gated): every stage is a
+    * deterministic function of its persisted inputs, and seeds/entry
+    * point recompute deterministically (hash-ordered pickSeeds, id
+    * tie-broken argmin). */
   def build(base: DataFrame, queries: DataFrame, params: BuildParams,
             precomputedKnn: Option[DataFrame] = None,
             frontierWidth: Int = 8, maxRounds: Int = 64,
             selfSearchSeeds: Int = 0,
             selfSearchBatches: Int = 1,
             mergeBatches: Int = 1,
-            repairReachability: Boolean = true): DistIndex = {
-    val spark = base.sparkSession
+            repairReachability: Boolean = true,
+            checkpointDir: Option[String] = None): DistIndex = {
+    implicit val spark: org.apache.spark.sql.SparkSession = base.sparkSession
     import spark.implicits._
     val m = params.mPjbp
     val metric = params.metric
@@ -129,6 +188,11 @@ object DistRoarGraphBuilder {
 
     val baseN = normalized(base).persist(StorageLevel.MEMORY_AND_DISK)
     val queriesN = normalized(queries)
+
+    checkpointDir.foreach(d => guardFingerprint(d,
+      s"m=${params.mPjbp},l=${params.lPjpq},mSq=${params.mSq},metric=$mn," +
+        s"fw=$frontierWidth,mr=$maxRounds,seeds=$selfSearchSeeds," +
+        s"p2b=$selfSearchBatches"))
 
     // per-phase wall clock: every phase boundary below is an EAGER
     // PlanUtil.cut / BspBeamSearch round loop, so lap() deltas are real
@@ -164,42 +228,51 @@ object DistRoarGraphBuilder {
     val pivotVecs = baseN.select(col("id").as("pivot"), col("vec").as("pvec"))
 
     // ---- phase 1 (G3, :1059-1097): pivot = 1-NN, rest of the kNN list =
-    // pivot's forward candidates; occlusion-prune per pivot ----
-    val edges = knn
-      .filter(size(col("knn")) >= 2)
-      .select(col("knn")(0).as("pivot"),
-        explode(slice(col("knn"), lit(2), size(col("knn")) - 1)).as("cand"))
-      .filter(col("cand") =!= col("pivot"))
-      .distinct()
-    val capC = math.max(params.mSq, 4 * m)
-    val topCand = TopKVecAggregator.topKVec(capC)
-    val fwdLists = edges
-      .join(candVecs, "cand")
-      .join(pivotVecs, "pivot")
-      .select(col("pivot"), col("cand"),
-        VectorFunctions.distByMetric(mn)(col("pvec"), col("cvec")).as("d"),
-        col("cvec"))
-      .groupBy("pivot")
-      .agg(topCand(col("cand"), col("d"), col("cvec")).as("cands"))
-      .as[(Long, Array[NeighborVec])]
-      .map { case (pivot, cands) =>
-        (pivot, OcclusionPrune.pruneVecs(
-          cands.map(c => (c.id, c.dist, c.vec)), pivot, m, scoreMetric))
-      }.toDF("src", "nbrs")
-    val (fwdListsCut, relFwdLists) = graft.ops.graph.PlanUtil.cutDFReleasable(fwdLists)
-    lap("phase1-forward")
-
-    // ---- phase 1b/1c (G8/G5): reverse sweep + overflow re-prune ----
-    // (unbatched: phase-1 edge volume is |train|·mSq-bound, not n·m —
-    // the train set is the small side by construction)
-    val (revMergedP1, relRevP1) = mergeReversePhase(fwdListsCut, baseN,
-      scoreMetric, appendCap = m, pruneTo = m, backfill = true,
-      capRev = 2 * m, finalCap = None)
-    val (projection, relProjection) =
-      graft.ops.graph.PlanUtil.cutDFReleasable(revMergedP1)
-    relRevP1()
-    relFwdLists() // projection is materialized; phase-1 forward lists are dead
-    lap("phase1-reverse")
+    // pivot's forward candidates; occlusion-prune per pivot; then the
+    // reverse sweep. One durable stage ("projection"): on a resume the
+    // kNN input is not even read. ----
+    val projHit = checkpointDir.exists(d => hasSuccess(s"$d/projection"))
+    var phase1Release: () => Unit = () => ()
+    val (projection, relProjection) = durableCut(checkpointDir, "projection") {
+      val edges = knn
+        .filter(size(col("knn")) >= 2)
+        .select(col("knn")(0).as("pivot"),
+          explode(slice(col("knn"), lit(2), size(col("knn")) - 1)).as("cand"))
+        .filter(col("cand") =!= col("pivot"))
+        .distinct()
+      val capC = math.max(params.mSq, 4 * m)
+      val topCand = TopKVecAggregator.topKVec(capC)
+      val fwdLists = edges
+        .join(candVecs, "cand")
+        .join(pivotVecs, "pivot")
+        .select(col("pivot"), col("cand"),
+          VectorFunctions.distByMetric(mn)(col("pvec"), col("cvec")).as("d"),
+          col("cvec"))
+        .groupBy("pivot")
+        .agg(topCand(col("cand"), col("d"), col("cvec")).as("cands"))
+        .as[(Long, Array[NeighborVec])]
+        .map { case (pivot, cands) =>
+          (pivot, OcclusionPrune.pruneVecs(
+            cands.map(c => (c.id, c.dist, c.vec)), pivot, m, scoreMetric))
+        }.toDF("src", "nbrs")
+      val (fwdListsCut, relFwdLists) =
+        graft.ops.graph.PlanUtil.cutDFReleasable(fwdLists)
+      lap("phase1-forward")
+      // ---- phase 1b/1c (G8/G5): reverse sweep + overflow re-prune ----
+      // (unbatched: phase-1 edge volume is |train|·mSq-bound, not n·m —
+      // the train set is the small side by construction)
+      val (revMergedP1, relRevP1) = mergeReversePhase(fwdListsCut, baseN,
+        scoreMetric, appendCap = m, pruneTo = m, backfill = true,
+        capRev = 2 * m, finalCap = None)
+      // durableCut materializes revMergedP1 (parquet write or local cut)
+      // before the caller runs this release, so the ordering contract of
+      // cutReleasable holds
+      phase1Release = () => { relRevP1(); relFwdLists() }
+      revMergedP1
+    }
+    phase1Release() // projection is materialized; phase-1 scratch is dead
+    if (!projHit) lap("phase1-reverse")
+    else tMark = System.nanoTime()
 
     // ---- phase 2 (G6, :1183-1276): BSP self-search over the frozen
     // phase-1 snapshot; pool prune (G9: strict pass, no backfill) ----
@@ -242,21 +315,29 @@ object DistRoarGraphBuilder {
           pool.map(t => (t._2, t._1, t._3)).toArray, src, m, scoreMetric,
           backfill = false))
       }.toDF("src", "nbrs")
-    def batchSupply(queries: DataFrame): (DataFrame, () => Unit) = {
-      val scope = new graft.ops.graph.CpScope
-      val ss = BspBeamSearch.search(
-        projection, baseN, queries, k = params.lPjpq, l = params.lPjpq,
-        ep, scoreMetric, frontierWidth, maxRounds, excludeSelf = true,
-        extraSeeds = p2Seeds, scope = scope)
-      val cutRel = graft.ops.graph.PlanUtil.cutDFReleasable(supplyPools(ss))
-      scope.releaseAll() // this batch's pools are cut; its round states are dead
+    // each batch is its own durable stage (supply_b<i>_of<B>): a build
+    // killed after batch i resumes at batch i+1 — at the 10M regime a
+    // batch is tens of minutes, so this is the preemption granularity
+    def batchSupply(queries: DataFrame, name: String): (DataFrame, () => Unit) = {
+      var scopeRelease: () => Unit = () => ()
+      val cutRel = durableCut(checkpointDir, name) {
+        val scope = new graft.ops.graph.CpScope
+        val ss = BspBeamSearch.search(
+          projection, baseN, queries, k = params.lPjpq, l = params.lPjpq,
+          ep, scoreMetric, frontierWidth, maxRounds, excludeSelf = true,
+          extraSeeds = p2Seeds, scope = scope)
+        scopeRelease = () => scope.releaseAll()
+        supplyPools(ss)
+      }
+      scopeRelease() // this batch's pools are cut; its round states are dead
       cutRel
     }
     val batchCuts =
-      if (selfSearchBatches <= 1) Seq(batchSupply(baseN))
+      if (selfSearchBatches <= 1) Seq(batchSupply(baseN, "supply_b0_of1"))
       else (0 until selfSearchBatches).map { b =>
         batchSupply(baseN.filter(
-          pmod(xxhash64(col("id")), lit(selfSearchBatches)) === lit(b)))
+          pmod(xxhash64(col("id")), lit(selfSearchBatches)) === lit(b)),
+          s"supply_b${b}_of$selfSearchBatches")
       }
     val supplyFwdCut = batchCuts.map(_._1).reduce(_.unionByName(_))
     val relSupplyFwd = () => batchCuts.foreach(_._2())
@@ -267,19 +348,21 @@ object DistRoarGraphBuilder {
     // ALL n srcs at ~m edges each — the build's second n·m·vecBytes
     // shuffle family — so it takes the destination-hash batching knob
     // (mergeBatches) that bounds its live scratch to one slice's volume.
-    val (supplyMerged, relSupplyMergedB) = mergeReversePhase(supplyFwdCut,
-      baseN, scoreMetric, appendCap = 2 * m, pruneTo = m, backfill = false,
-      capRev = 2 * m, finalCap = Some(m), batches = mergeBatches)
-
-    // ---- merge ≤ 2m novel supply edges into the projection (:1251-1269) --
-    val adj = projection
-      .join(supplyMerged.withColumnRenamed("nbrs", "snbrs"), Seq("src"), "left")
-      .select(col("src"),
-        concat(col("nbrs"),
-          slice(filter(coalesce(col("snbrs"), array().cast("array<bigint>")),
-            x => !array_contains(col("nbrs"), x)), 1, 2 * m)).as("nbrs"))
-    val (adjCut, relAdjCut) = graft.ops.graph.PlanUtil.cutDFReleasable(adj)
-    relSupplyMergedB() // merged adjacency is cut; per-slice merge blocks,
+    var mergeRelease: () => Unit = () => ()
+    val (adjCut, relAdjCut) = durableCut(checkpointDir, "adj_merged") {
+      val (supplyMerged, relSupplyMergedB) = mergeReversePhase(supplyFwdCut,
+        baseN, scoreMetric, appendCap = 2 * m, pruneTo = m, backfill = false,
+        capRev = 2 * m, finalCap = Some(m), batches = mergeBatches)
+      mergeRelease = () => relSupplyMergedB()
+      // ---- merge ≤ 2m novel supply edges into the projection (:1251-1269) --
+      projection
+        .join(supplyMerged.withColumnRenamed("nbrs", "snbrs"), Seq("src"), "left")
+        .select(col("src"),
+          concat(col("nbrs"),
+            slice(filter(coalesce(col("snbrs"), array().cast("array<bigint>")),
+              x => !array_contains(col("nbrs"), x)), 1, 2 * m)).as("nbrs"))
+    }
+    mergeRelease()     // merged adjacency is cut; per-slice merge blocks,
     relSupplyFwd()     // supply pools, and the phase-1 projection are all
     relProjection()    // dead
     lap("phase2-supply-merge")

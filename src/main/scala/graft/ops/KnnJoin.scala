@@ -119,23 +119,66 @@ object KnnJoin {
     * top-k each) instead of one globally merged top-k. Every current
     * caller ([[apply]], [[ivfApprox]], Quantize.adcTopK) feeds ids from
     * an `id` key column, which satisfies this; a new caller with
-    * duplicate ids must pre-merge them. */
+    * duplicate ids must pre-merge them.
+    *
+    * `checkpointDir` + `blockKey` (both or neither) make the drain
+    * PREEMPTIBLE: each block's merged top-k is persisted as parquet under
+    * `dir/block_<i>` the moment it lands, and a relaunched drain whose
+    * block slice matches the persisted block's identity marker (row count
+    * + order-sensitive qid hash — blocks tile by position, so identity
+    * includes order) skips that block's scan entirely. At the 10M regime
+    * one block is ~40-60 min of scan; without this a kill at a
+    * measurement-window boundary loses the whole multi-hour drain. A
+    * marker mismatch (different query set/order/blockRows) fails loudly
+    * rather than serving a stale block. */
   private[graft] def blockedTopK[Q](spark: org.apache.spark.sql.SparkSession,
-      qIt: Iterator[Q], blockRows: Int, k: Int, emptyMsg: String)(
+      qIt: Iterator[Q], blockRows: Int, k: Int, emptyMsg: String,
+      checkpointDir: Option[String] = None, blockKey: Q => Long = null)(
       partial: org.apache.spark.broadcast.Broadcast[Array[Q]] => DataFrame)(
       implicit ct: scala.reflect.ClassTag[Q]): DataFrame = {
     require(qIt.hasNext, emptyMsg)
-    val mergedBlocks = qIt.grouped(blockRows).map { blk =>
-      val bc = spark.sparkContext.broadcast(blk.toArray)
-      val (cutPartial, releasePartial) =
-        graft.ops.graph.PlanUtil.cutDFReleasable(partial(bc))
-      bc.destroy()
-      val merged = graft.ops.graph.PlanUtil.cutDF(
-        cutPartial.groupBy("query_id")
+    require(checkpointDir.isEmpty == (blockKey == null),
+      "blockedTopK: checkpointDir and blockKey come together")
+    // order-sensitive identity of a block slice (position-tiled blocks)
+    def markerOf(blk: Array[Q]): String = {
+      var h = 1125899906842597L
+      var i = 0
+      while (i < blk.length) { h = h * 31 + blockKey(blk(i)); i += 1 }
+      s"${blk.length}:$h"
+    }
+    val mergedBlocks = qIt.grouped(blockRows).zipWithIndex.map { case (blkSeq, bi) =>
+      val blk = blkSeq.toArray
+      val cpPath = checkpointDir.map(d => s"$d/block_$bi")
+      val markerFile = cpPath.map(p => new java.io.File(s"$p.marker"))
+      val hit = cpPath.exists(p =>
+        new java.io.File(s"$p/_SUCCESS").exists() && markerFile.exists(_.exists()))
+      if (hit) {
+        val prev = new String(java.nio.file.Files.readAllBytes(
+          markerFile.get.toPath),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        require(prev == markerOf(blk),
+          s"blockedTopK checkpoint ${cpPath.get} was written for a different " +
+            s"block slice ($prev vs ${markerOf(blk)}) — refusing stale resume")
+        spark.read.parquet(cpPath.get)
+      } else {
+        val bc = spark.sparkContext.broadcast(blk)
+        val (cutPartial, releasePartial) =
+          graft.ops.graph.PlanUtil.cutDFReleasable(partial(bc))
+        bc.destroy()
+        val mergedPlan = cutPartial.groupBy("query_id")
           .agg(slice(sort_array(flatten(collect_list(col("partial")))), 1, k)
-            .as("knn0")))
-      releasePartial() // merged is cut; this block's partials are dead
-      merged
+            .as("knn0"))
+        val merged = cpPath match {
+          case Some(p) =>
+            mergedPlan.write.mode("overwrite").parquet(p)
+            java.nio.file.Files.write(markerFile.get.toPath, markerOf(blk)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            spark.read.parquet(p)
+          case None => graft.ops.graph.PlanUtil.cutDF(mergedPlan)
+        }
+        releasePartial() // merged is cut; this block's partials are dead
+        merged
+      }
     }.toList
     mergedBlocks.reduce(_ union _)
       .select(col("query_id"),
@@ -277,7 +320,8 @@ object KnnJoin {
   def ivfApprox(queries: DataFrame, base: DataFrame, k: Int, metric: Metric,
                 nlist: Int = 1024, nprobe: Int = 64, kmIters: Int = 4,
                 trainCap: Int = 65536,
-                queryBlockRows: Int = 100000): DataFrame = {
+                queryBlockRows: Int = 100000,
+                checkpointDir: Option[String] = None): DataFrame = {
     val spark = base.sparkSession
     import spark.implicits._
     require(nprobe >= 1 && nprobe <= nlist, s"nprobe $nprobe not in [1, $nlist]")
@@ -333,7 +377,10 @@ object KnnJoin {
       .map { case (id, v, ps) => (id, widen(v, norm), ps) }
 
     val out = blockedTopK(spark, qIt, queryBlockRows, k,
-      "IVF kNN join: empty query set") { bc =>
+      "IVF kNN join: empty query set",
+      checkpointDir = checkpointDir,
+      blockKey = if (checkpointDir.isEmpty) null
+                 else (q: (Long, Array[Double], Array[Int])) => q._1) { bc =>
       routed.mapPartitions { it =>
         val qs = bc.value
         // centroid → indices of the block's queries probing it, so a base

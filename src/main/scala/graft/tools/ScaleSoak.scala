@@ -174,12 +174,37 @@ object ScaleSoak {
         val tk = System.nanoTime()
         val lists =
           if (trainKnnMode == "exact") KnnJoin(train, base, params.mSq, Metric.L2)
+          // the approx drain checkpoints each merged query block under
+          // <knnPath>.cp — a prefix killed at a window boundary resumes
+          // at the last completed ~40-60 min block instead of restarting
+          // the multi-hour scan (markers guard slice identity)
           else KnnJoin.ivfApprox(train, base, params.mSq, Metric.L2,
             nlist = a.getOrElse("nlist", "1024").toInt,
-            nprobe = a.getOrElse("nprobe", "64").toInt)
+            nprobe = a.getOrElse("nprobe", "64").toInt,
+            checkpointDir = Some(s"$knnPath.cp"))
         lists.select(col("query_id"), transform(col("knn"), _("id")).as("knn"))
           .write.mode("overwrite").parquet(knnPath)
         println(f"[soak] train->base kNN ($trainKnnMode) written in ${(System.nanoTime() - tk) / 1e9}%.1f s")
+      }
+      // --agreeSample N: at regimes where the FULL exact prefix is
+      // unaffordable (the 10M primary — ~1e15 mul-adds), verify the approx
+      // prefix against an exact kNN of a deterministic hash-ordered sample
+      // of N train queries (N·n·dim work — minutes, not days). This is the
+      // committable agreement evidence for rungs with no exact twin.
+      val agreeSample = a.getOrElse("agreeSample", "0").toInt
+      if (trainKnnMode == "approx" && agreeSample > 0) {
+        val sq = train.orderBy(xxhash64(col("id")), col("id"))
+          .limit(agreeSample)
+        val ta = System.nanoTime()
+        val ex = KnnJoin(sq, base, params.mSq, Metric.L2)
+          .select(col("query_id"), transform(col("knn"), _("id")).as("e"))
+        val ap = spark.read.parquet(knnPath)
+          .select(col("query_id"), col("knn").as("a"))
+        val agree = ex.join(ap, Seq("query_id"), "left")
+          .select((coalesce(size(array_intersect(col("e"), col("a"))), lit(0))
+            .cast("double") / size(col("e"))).as("ov"))
+          .agg(avg(col("ov"))).head().getDouble(0)
+        println(f"""[soak] {"knn_agreement_sampled":$agree%.4f,"sample":$agreeSample,"k":${params.mSq},"sample_sec":${(System.nanoTime() - ta) / 1e9}%.1f}""")
       }
       if (trainKnnMode == "approx" &&
           new java.io.File(s"$exactKnnPath/_SUCCESS").exists()) {
@@ -254,12 +279,23 @@ object ScaleSoak {
           // build's other n·m·vecBytes shuffle family (defaults to the
           // self-search batch count — both phases face the same disk)
           val mrb = a.getOrElse("mrb", p2b.toString).toInt
+          // --buildCp <dir|auto>: durable stage checkpoints (projection,
+          // per-batch supply, merged adjacency) so a build killed at a
+          // wall/preemption boundary resumes instead of restarting — the
+          // 10M regime's build exceeds any single measurement window.
+          // "auto" derives a dir keyed by corpus + knobs under --out.
+          val buildCp = a.get("buildCp").map {
+            case "auto" => s"$out/build_cp_${n}_d${Dim}_m${params.mPjbp}_l${params.lPjpq}"
+            case d      => d
+          }
+          buildCp.foreach(d => println(s"[soak] build checkpoints: $d"))
           val di = DistRoarGraphBuilder.build(base, train, params, knn,
             frontierWidth = a.getOrElse("fw", "8").toInt,
             maxRounds = a.getOrElse("p2rounds", "24").toInt,
             selfSearchSeeds = a.getOrElse("seeds", "32").toInt,
             selfSearchBatches = p2b,
-            mergeBatches = mrb)
+            mergeBatches = mrb,
+            checkpointDir = buildCp)
           di.adj.cache()
           val nAdj = di.adj.count()
           buildSec = (System.nanoTime() - tb) / 1e9

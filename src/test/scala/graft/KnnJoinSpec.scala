@@ -71,6 +71,57 @@ class KnnJoinSpec extends SparkSpec {
     }
   }
 
+  test("ivfApprox block checkpoints: resume is row-identical and a stale " +
+       "slice is refused") {
+    // the drain's per-block parquet checkpoints make the multi-hour 10M
+    // prefix preemptible; contract: (a) checkpointed == uncheckpointed,
+    // (b) a relaunch that lost some blocks recomputes ONLY those and
+    // yields identical rows, (c) a marker/slice mismatch fails loudly
+    // instead of serving a stale block
+    val emb = Tables.vectors(spark, sf0001)
+    val q = emb.filter(col("id") < 40)
+    val b = emb.filter(col("id") >= 40)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      KnnJoin.explodeRanks(df).select("query_id", "rank", "base_id")
+    val plain = rows(KnnJoin.ivfApprox(q, b, 5, Metric.L2,
+      nlist = 8, nprobe = 8, kmIters = 2, queryBlockRows = 16))
+    val cpDir = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "knn_cp_spec")
+      .toString
+    val cp = rows(KnnJoin.ivfApprox(q, b, 5, Metric.L2,
+      nlist = 8, nprobe = 8, kmIters = 2, queryBlockRows = 16,
+      checkpointDir = Some(cpDir)))
+    assert(cp.exceptAll(plain).isEmpty && plain.exceptAll(cp).isEmpty,
+      "checkpointed drain != plain drain")
+    assert(new java.io.File(s"$cpDir/block_1/_SUCCESS").exists(),
+      "expected multiple drained blocks")
+
+    // simulated preemption: block_1 (and its marker) are gone, block_0
+    // survives and must be served from parquet
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmTree); f.delete()
+    }
+    rmTree(new java.io.File(s"$cpDir/block_1"))
+    new java.io.File(s"$cpDir/block_1.marker").delete()
+    val marker0 = new java.io.File(s"$cpDir/block_0.marker")
+    val m0 = marker0.lastModified()
+    val resumed = rows(KnnJoin.ivfApprox(q, b, 5, Metric.L2,
+      nlist = 8, nprobe = 8, kmIters = 2, queryBlockRows = 16,
+      checkpointDir = Some(cpDir)))
+    assert(resumed.exceptAll(plain).isEmpty && plain.exceptAll(resumed).isEmpty,
+      "resumed drain != plain drain")
+    assert(marker0.lastModified() == m0, "resume rewrote a completed block")
+
+    // a different query slice under the same dir must be refused
+    val e = intercept[Exception] {
+      rows(KnnJoin.ivfApprox(emb.filter(col("id") < 39), b, 5, Metric.L2,
+        nlist = 8, nprobe = 8, kmIters = 2, queryBlockRows = 16,
+        checkpointDir = Some(cpDir))).count()
+    }
+    assert(e.getMessage.contains("refusing stale resume"), e.getMessage)
+    rmTree(new java.io.File(cpDir))
+  }
+
   test("ivfApprox under partial probing keeps high agreement with exact") {
     // clustered corpus (the geometry IVF exists for): probing a quarter of
     // the lists must retain >= 0.9 mean overlap with the exact top-k

@@ -1,0 +1,43 @@
+#!/bin/bash
+# 10M x 200d distributed build — the reference's PRIMARY regime
+# (prepare_data.sh:22-28, run_roargraph_test.sh:9-10) at the knob class
+# both quality levers were measured to saturate at on the 2M rung
+# ((48,96) degree, SCALE.md; train at the reference's 5% ratio = the
+# 500k-query approx prefix run_prefix_10m.sh writes — the build picks
+# that artifact up by path identity and never recomputes it).
+#
+# This build CANNOT fit one measurement window (~16 h of phase-2 at 24
+# threads, extrapolated from the 2M rung's 7355.6 s x5 n x1.56 dim), so
+# it runs CHECKPOINTED (--buildCp auto): phase-1 projection, each of the
+# 64 phase-2 self-search batches (~15 min each — the preemption
+# granularity), and the merged adjacency persist under
+# target/soak10m/build_cp_*; kill it at any wall boundary and relaunch
+# this script to resume after the last completed stage. FINGERPRINT
+# guards knob identity across resumes.
+#
+# Sizing vs the measured 2M (48,96) rung:
+#   p2b 64  -> ~156k-node slices; per-batch pool shuffle ~12 GB scratch
+#              (2M ran 125k x 128d ~ 6 GB) — finer than the n/262144
+#              default for resume granularity; MUST stay fixed across
+#              resumes (slicing is part of the checkpoint fingerprint).
+#   mrb 256 -> keeps per-slice supply-merge scratch at the 2M rung's
+#              measured 34.7 GB peak (volume scales x7.8 = 5x n x1.56
+#              dim; 256/32 = 8x more slices).
+#   heap 26g, 24 threads: 2M peaked 16201 MiB under 16g; the persist()
+#   of 10M x 200d base (~8 GB) plus per-batch state needs the headroom
+#   VERDICT r10 prescribed (20-24g) — 26g adds GC margin for the curve
+#   rig's known full-GC artifact mode.
+#   --agreeSample 1000: exact-kNN spot check of the approx prefix (the
+#   full exact twin is unaffordable at this regime) — the committable
+#   agreement evidence, ~5 min.
+OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio java.util java.util.concurrent java.util.concurrent.atomic sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+SPARK_GRAFT_CPUS=24 java -Xmx26g $OPENS -XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64 \
+  -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+  graft.tools.ScaleSoak --n 10000000 --dim 200 --trainQ 500000 --mSq 32 \
+  --mPjbp 48 --lPjpq 96 --trainKnn approx --nlist 4096 --nprobe 512 \
+  --agreeSample 1000 --buildCp auto \
+  --fw 4 --p2b 64 --mrb 256 --shuffle 256 --seeds 128 --l 1000 --tier dist \
+  --out target/soak10m --db graft_soak_10m_48_96 "$@"
