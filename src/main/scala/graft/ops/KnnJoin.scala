@@ -333,28 +333,58 @@ object KnnJoin {
     // step 30, gcd 2): the strided sample contained only the 8 even
     // clusters, the codebook never saw half the distribution, and
     // routing agreement fell 0.9999 → 0.868 at the same probe fraction.
-    val nRows = base.count()
-    val step = math.max(1L, nRows / trainCap)
-    val sample =
-      if (step == 1L) base.select(col("id").cast("long"), col("vec"))
-      else base.select(col("id").cast("long"), col("vec"))
-        .filter(pmod(xxhash64(col("id")), lit(step)) === 0L)
-    val cents = AnnSearch.kMeans(sample, nlist, kmIters)
-      .select(col("centroid_id").cast("int"), col("vec"))
-      .as[(Int, Array[Float])].collect().sortBy(_._1)
+    // under a checkpoint dir the CENTROIDS themselves are persisted and
+    // re-read on resume: k-means is seed-deterministic only up to float
+    // aggregation order, so a resumed drain that re-trained could probe
+    // DIFFERENT lists than the blocks it is resuming — persisted
+    // centroids make resume exact, not approximately-the-same
+    def hasCp(name: String): Boolean = checkpointDir.exists(d =>
+      new java.io.File(s"$d/$name/_SUCCESS").exists())
+    val cents: Array[(Int, Array[Float])] =
+      if (hasCp("centroids"))
+        spark.read.parquet(s"${checkpointDir.get}/centroids")
+          .select(col("centroid_id").cast("int"), col("vec"))
+          .as[(Int, Array[Float])].collect().sortBy(_._1)
+      else {
+        val nRows = base.count()
+        val step = math.max(1L, nRows / trainCap)
+        val sample =
+          if (step == 1L) base.select(col("id").cast("long"), col("vec"))
+          else base.select(col("id").cast("long"), col("vec"))
+            .filter(pmod(xxhash64(col("id")), lit(step)) === 0L)
+        val c = AnnSearch.kMeans(sample, nlist, kmIters)
+          .select(col("centroid_id").cast("int"), col("vec"))
+          .as[(Int, Array[Float])].collect().sortBy(_._1)
+        checkpointDir.foreach { d =>
+          c.toSeq.toDF("centroid_id", "vec")
+            .write.mode("overwrite").parquet(s"$d/centroids")
+        }
+        c
+      }
     require(cents.indices.forall(i => cents(i)._1 == i),
       "k-means centroid ids not dense 0..nlist-1")
     val centsD = cents.map(c => widen(c._2, normalize = false))
 
     // route every base row to its nearest list: ONE map pass, no shuffle
     // (assignToCentroidsKernel broadcasts the centroid grid); cut so the
-    // routed table materializes once and is freed after the last block
-    val (routed, releaseRouted) = graft.ops.graph.PlanUtil.cutReleasable(
-      AnnSearch.assignToCentroidsKernel(
-        base.select(col("id").cast("long"), col("vec")),
-        cents.toSeq.toDF("centroid_id", "vec"))
-        .select(col("id"), col("vec"), col("centroid_id").cast("int"))
-        .as[(Long, Array[Float], Int)])
+    // routed table materializes once and is freed after the last block.
+    // Under a checkpoint dir the routed table is durable parquet — at the
+    // 10M regime routing is ~2 h of brute-force nearest-of-nlist and a
+    // killed drain must not re-pay it.
+    val routedPlan = AnnSearch.assignToCentroidsKernel(
+      base.select(col("id").cast("long"), col("vec")),
+      cents.toSeq.toDF("centroid_id", "vec"))
+      .select(col("id"), col("vec"), col("centroid_id").cast("int"))
+    val (routed, releaseRouted) = checkpointDir match {
+      case Some(d) =>
+        if (!hasCp("routed"))
+          routedPlan.write.mode("overwrite").parquet(s"$d/routed")
+        (spark.read.parquet(s"$d/routed")
+          .as[(Long, Array[Float], Int)], () => ())
+      case None =>
+        graft.ops.graph.PlanUtil.cutReleasable(
+          routedPlan.as[(Long, Array[Float], Int)])
+    }
 
     val norm = metric.needNormalize
     // probe assignment runs DISTRIBUTED (one mapPartitions pass over the
