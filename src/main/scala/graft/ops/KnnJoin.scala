@@ -371,10 +371,20 @@ object KnnJoin {
     // Under a checkpoint dir the routed table is durable parquet — at the
     // 10M regime routing is ~2 h of brute-force nearest-of-nlist and a
     // killed drain must not re-pay it.
+    // sortWithinPartitions(centroid_id): the drain's scan cost is MEMORY
+    // traffic, not FLOPs — each base row reads the ~1.6 KB widened vector
+    // of every query probing its list (~nprobe/nlist of the block, ~20 MB
+    // of random reads per row at the 10M knobs). Centroid-sorted iteration
+    // makes consecutive rows share one probing set, so a centroid run's
+    // prober vectors stay cache-resident instead of being re-fetched per
+    // row. No shuffle (per-partition sort), and result-neutral: BoundedTopK
+    // is insertion-order-independent ((dist, id) tie-break, spec-pinned)
+    // and the full-probe==exact oracle gate covers the kernel.
     val routedPlan = AnnSearch.assignToCentroidsKernel(
       base.select(col("id").cast("long"), col("vec")),
       cents.toSeq.toDF("centroid_id", "vec"))
       .select(col("id"), col("vec"), col("centroid_id").cast("int"))
+      .sortWithinPartitions(col("centroid_id"))
     val (routed, releaseRouted) = checkpointDir match {
       case Some(d) =>
         if (!hasCp("routed"))
