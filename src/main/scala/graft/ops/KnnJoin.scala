@@ -76,14 +76,39 @@ object KnnJoin {
     out
   }
 
+  /** 4-way unrolled: the single-accumulator form serializes on FP-add
+    * latency (~4 cycles/element — measured as the 10M drain's bottleneck
+    * once the routed scan was cache-sorted); four independent chains let
+    * the core retire adds in parallel and open the loop to
+    * auto-vectorization. Reassociates the sum — bit-level results differ
+    * from the serial form by ~1 ulp, far inside the oracle's 1e-6
+    * relative tolerance; (dist, id) tie-breaks are unaffected (exact
+    * ties produce identical partials in any association order). */
   @inline private[graft] def distD(metric: Metric, a: Array[Double], b: Array[Double]): Double =
     metric match {
       case Metric.L2 =>
-        var s = 0.0; var i = 0
+        var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
+        var i = 0
+        val n4 = a.length - 3
+        while (i < n4) {
+          val x0 = a(i) - b(i); val x1 = a(i + 1) - b(i + 1)
+          val x2 = a(i + 2) - b(i + 2); val x3 = a(i + 3) - b(i + 3)
+          s0 += x0 * x0; s1 += x1 * x1; s2 += x2 * x2; s3 += x3 * x3
+          i += 4
+        }
+        var s = (s0 + s1) + (s2 + s3)
         while (i < a.length) { val x = a(i) - b(i); s += x * x; i += 1 }
         s
       case _ => // InnerProduct and Cosine (inputs pre-normalized for cosine)
-        var s = 0.0; var i = 0
+        var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
+        var i = 0
+        val n4 = a.length - 3
+        while (i < n4) {
+          s0 += a(i) * b(i); s1 += a(i + 1) * b(i + 1)
+          s2 += a(i + 2) * b(i + 2); s3 += a(i + 3) * b(i + 3)
+          i += 4
+        }
+        var s = (s0 + s1) + (s2 + s3)
         while (i < a.length) { s += a(i) * b(i); i += 1 }
         -s
     }
