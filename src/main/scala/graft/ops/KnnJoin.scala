@@ -414,8 +414,12 @@ object KnnJoin {
       case Some(d) =>
         if (!hasCp("routed"))
           routedPlan.write.mode("overwrite").parquet(s"$d/routed")
-        (spark.read.parquet(s"$d/routed")
-          .as[(Long, Array[Float], Int)], () => ())
+        // cut the parquet read: the drain makes one full pass PER BLOCK,
+        // and re-deserializing the routed table from parquet every pass
+        // (~8 GB at the 10M regime) is minutes of per-block overhead the
+        // in-session cut pays once
+        graft.ops.graph.PlanUtil.cutReleasable(
+          spark.read.parquet(s"$d/routed").as[(Long, Array[Float], Int)])
       case None =>
         graft.ops.graph.PlanUtil.cutReleasable(
           routedPlan.as[(Long, Array[Float], Int)])
@@ -457,18 +461,49 @@ object KnnJoin {
         // tasks; the counting-sort build below allocates primitives only
         val byCent = centIndexFor(qs, nlist)
         val heaps = Array.fill(qs.length)(new BoundedTopK(k))
-        it.foreach { case (bid, bvec, cid) =>
-          val probing = byCent(cid)
-          if (probing.length > 0) {
-            val bv = widen(bvec, norm)
-            var j = 0
-            while (j < probing.length) {
-              val qi = probing(j)
-              heaps(qi).push(distD(metric, qs(qi)._2, bv), bid)
-              j += 1
+        // Run-blocked sweep (the measured 10M bottleneck was MEMORY, not
+        // FLOPs: row-major iteration touches ~|probers|·1.6 KB of RANDOM
+        // query-vector reads PER ROW, and 24 threads' prober sets evict
+        // each other out of shared L3 — ~60-85 min per 100k-query block).
+        // The routed input is centroid-sorted within partitions, so rows
+        // of one list arrive consecutively: buffer a run of <= RunBuf rows
+        // (~100 KB — L2-resident), then sweep its probing queries OUTER x
+        // buffered rows INNER. Each query vector is now read once per RUN
+        // (sequentially, prefetcher-friendly) instead of once per row, and
+        // the heap reference is hoisted per (query, run). Result-neutral:
+        // same (query, row) pair set, and BoundedTopK is
+        // insertion-order-independent ((dist, id) tie-break, spec-pinned).
+        val RunBuf = 64
+        val bufIds = new Array[Long](RunBuf)
+        val bufVecs = new Array[Array[Double]](RunBuf)
+        var bufN = 0
+        var bufCid = -1
+        def flushRun(): Unit = if (bufN > 0) {
+          val probing = byCent(bufCid)
+          var j = 0
+          while (j < probing.length) {
+            val qi = probing(j)
+            val qv = qs(qi)._2
+            val h = heaps(qi)
+            var r = 0
+            while (r < bufN) {
+              h.push(distD(metric, qv, bufVecs(r)), bufIds(r))
+              r += 1
             }
+            j += 1
+          }
+          bufN = 0
+        }
+        it.foreach { case (bid, bvec, cid) =>
+          if (cid != bufCid) { flushRun(); bufCid = cid }
+          else if (bufN == RunBuf) flushRun()
+          if (byCent(cid).length > 0) {
+            bufIds(bufN) = bid
+            bufVecs(bufN) = widen(bvec, norm)
+            bufN += 1
           }
         }
+        flushRun()
         Iterator.range(0, qs.length).flatMap { qi =>
           val r = heaps(qi).result()
           if (r.isEmpty) None else Some((qs(qi)._1, r))
