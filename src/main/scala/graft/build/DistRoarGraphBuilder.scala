@@ -96,8 +96,13 @@ object DistRoarGraphBuilder {
     case _         => "ip" // cosine inputs are pre-normalized below
   }
 
-  private def hasSuccess(path: String): Boolean =
-    new java.io.File(s"$path/_SUCCESS").exists()
+  // checkpoint metadata resolves through the session's Hadoop FS (CpIO),
+  // not java.io.File: stage data goes through Spark's Hadoop FS, so an
+  // hdfs:// / s3a:// checkpointDir must probe the SAME filesystem or
+  // resume would silently never trigger (ADVICE r11)
+  private def hasSuccess(path: String)
+      (implicit spark: org.apache.spark.sql.SparkSession): Boolean =
+    graft.core.CpIO.exists(s"$path/_SUCCESS")
 
   /** Durable variant of [[graft.ops.graph.PlanUtil.cutDFReleasable]]: when a
     * checkpoint dir is given, the stage's output is materialized as parquet
@@ -109,8 +114,17 @@ object DistRoarGraphBuilder {
     * in-session localCheckpoint cut, unchanged. At 100 TB a build is days
     * of cluster work; this is what makes it PREEMPTIBLE — the same
     * contract as Spark's own reliable checkpoint, but name-addressed so an
-    * entirely new driver JVM (a new cluster allocation) can resume. */
-  private def durableCut(dir: Option[String], name: String)
+    * entirely new driver JVM (a new cluster allocation) can resume.
+    *
+    * `hot = true` for stages that downstream code RE-SCANS many times
+    * (the phase-1 projection is read by every BSP round of every phase-2
+    * batch — maxRounds x batches passes): the parquet read is additionally
+    * cut into block-manager storage (persist-class, with a real release),
+    * so a checkpointed build pays parquet deserialization ONCE instead of
+    * per-pass, matching the uncheckpointed path's in-memory localCheckpoint
+    * cost. Single-scan stages keep the bare read — persisting them would
+    * only duplicate bytes. */
+  private def durableCut(dir: Option[String], name: String, hot: Boolean = false)
                         (df: => DataFrame)
                         (implicit spark: org.apache.spark.sql.SparkSession)
       : (DataFrame, () => Unit) = dir match {
@@ -121,7 +135,8 @@ object DistRoarGraphBuilder {
         println(s"[dist-build] $name: checkpoint hit ($path)")
       else
         df.write.mode("overwrite").parquet(path)
-      (spark.read.parquet(path), () => ())
+      if (hot) graft.ops.graph.PlanUtil.cutDFReleasable(spark.read.parquet(path))
+      else (spark.read.parquet(path), () => ())
   }
 
   /** Refuse to resume a checkpoint dir written under different build knobs
@@ -129,20 +144,9 @@ object DistRoarGraphBuilder {
     * train-set identity is the CALLER's contract (encode them in the dir
     * name, as ScaleSoak does); the knobs that change stage dataflow are
     * guarded here. */
-  private def guardFingerprint(dir: String, fp: String): Unit = {
-    val f = new java.io.File(dir, "FINGERPRINT")
-    if (f.exists()) {
-      val prev = new String(java.nio.file.Files.readAllBytes(f.toPath),
-        java.nio.charset.StandardCharsets.UTF_8).trim
-      require(prev == fp,
-        s"checkpoint dir $dir was written with knobs '$prev'; this build " +
-          s"has '$fp' — refusing to mix stage outputs across knob sets")
-    } else {
-      f.getParentFile.mkdirs()
-      java.nio.file.Files.write(f.toPath,
-        fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    }
-  }
+  private def guardFingerprint(dir: String, fp: String)
+      (implicit spark: org.apache.spark.sql.SparkSession): Unit =
+    graft.core.CpIO.guardFingerprint(dir, fp)
 
   /** Build. `base`/`queries` expose (id, vec: array<float>);
     * `precomputedKnn`, if given, is [query_id, knn: array<long>] of
@@ -189,10 +193,15 @@ object DistRoarGraphBuilder {
     val baseN = normalized(base).persist(StorageLevel.MEMORY_AND_DISK)
     val queriesN = normalized(queries)
 
+    // mergeBatches is deliberately NOT in the fingerprint: batched ==
+    // unbatched merge is spec-gated result-identical, so stages persist
+    // compatibly across mrb changes. kernel= versions the numeric kernels
+    // (CpIO.KernelVersion) so stages built under a bit-differently-
+    // associating kernel are never silently mixed across a code change.
     checkpointDir.foreach(d => guardFingerprint(d,
       s"m=${params.mPjbp},l=${params.lPjpq},mSq=${params.mSq},metric=$mn," +
         s"fw=$frontierWidth,mr=$maxRounds,seeds=$selfSearchSeeds," +
-        s"p2b=$selfSearchBatches"))
+        s"p2b=$selfSearchBatches,kernel=${graft.core.CpIO.KernelVersion}"))
 
     // per-phase wall clock: every phase boundary below is an EAGER
     // PlanUtil.cut / BspBeamSearch round loop, so lap() deltas are real
@@ -233,7 +242,8 @@ object DistRoarGraphBuilder {
     // kNN input is not even read. ----
     val projHit = checkpointDir.exists(d => hasSuccess(s"$d/projection"))
     var phase1Release: () => Unit = () => ()
-    val (projection, relProjection) = durableCut(checkpointDir, "projection") {
+    val (projection, relProjection) = durableCut(checkpointDir, "projection",
+        hot = true) { // BspBeamSearch re-scans this every round of every batch
       val edges = knn
         .filter(size(col("knn")) >= 2)
         .select(col("knn")(0).as("pivot"),

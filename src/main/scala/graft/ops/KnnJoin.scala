@@ -149,41 +149,48 @@ object KnnJoin {
     * `checkpointDir` + `blockKey` (both or neither) make the drain
     * PREEMPTIBLE: each block's merged top-k is persisted as parquet under
     * `dir/block_<i>` the moment it lands, and a relaunched drain whose
-    * block slice matches the persisted block's identity marker (row count
-    * + order-sensitive qid hash — blocks tile by position, so identity
-    * includes order) skips that block's scan entirely. At the 10M regime
-    * one block is ~40-60 min of scan; without this a kill at a
-    * measurement-window boundary loses the whole multi-hour drain. A
-    * marker mismatch (different query set/order/blockRows) fails loudly
-    * rather than serving a stale block. */
+    * block slice matches the persisted block's identity marker (block
+    * index + blockRows + row count + order-sensitive qid hash — blocks
+    * tile by position, so identity includes order — plus the caller's
+    * `markerContext` knob/kernel token) skips that block's scan entirely.
+    * At the 10M regime one block is ~40-60 min of scan; without this a
+    * kill at a measurement-window boundary loses the whole multi-hour
+    * drain. A marker mismatch (different query set/order/blockRows/knobs,
+    * or a marker written by an older kernel version) fails loudly rather
+    * than serving a stale block — delete the stale `block_<i>` dir and
+    * its `.marker` to recompute that block under the current code. */
   private[graft] def blockedTopK[Q](spark: org.apache.spark.sql.SparkSession,
       qIt: Iterator[Q], blockRows: Int, k: Int, emptyMsg: String,
-      checkpointDir: Option[String] = None, blockKey: Q => Long = null)(
+      checkpointDir: Option[String] = None, blockKey: Q => Long = null,
+      markerContext: String = "")(
       partial: org.apache.spark.broadcast.Broadcast[Array[Q]] => DataFrame)(
       implicit ct: scala.reflect.ClassTag[Q]): DataFrame = {
     require(qIt.hasNext, emptyMsg)
     require(checkpointDir.isEmpty == (blockKey == null),
       "blockedTopK: checkpointDir and blockKey come together")
-    // order-sensitive identity of a block slice (position-tiled blocks)
-    def markerOf(blk: Array[Q]): String = {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    // order-sensitive identity of a block slice (position-tiled blocks),
+    // versioned (v2) and bound to the tiling (block index + blockRows)
+    // and the caller's knob/kernel context — a marker from a different
+    // tiling, knob set, or kernel version never silently resumes
+    def markerOf(blk: Array[Q], bi: Int): String = {
       var h = 1125899906842597L
       var i = 0
       while (i < blk.length) { h = h * 31 + blockKey(blk(i)); i += 1 }
-      s"${blk.length}:$h"
+      s"v2:b$bi:r$blockRows:${blk.length}:$h:$markerContext"
     }
     val mergedBlocks = qIt.grouped(blockRows).zipWithIndex.map { case (blkSeq, bi) =>
       val blk = blkSeq.toArray
       val cpPath = checkpointDir.map(d => s"$d/block_$bi")
-      val markerFile = cpPath.map(p => new java.io.File(s"$p.marker"))
+      val markerPath = cpPath.map(p => s"$p.marker")
       val hit = cpPath.exists(p =>
-        new java.io.File(s"$p/_SUCCESS").exists() && markerFile.exists(_.exists()))
+        graft.core.CpIO.exists(s"$p/_SUCCESS") &&
+          markerPath.exists(graft.core.CpIO.exists(_)))
       if (hit) {
-        val prev = new String(java.nio.file.Files.readAllBytes(
-          markerFile.get.toPath),
-          java.nio.charset.StandardCharsets.UTF_8).trim
-        require(prev == markerOf(blk),
+        val prev = graft.core.CpIO.readString(markerPath.get).trim
+        require(prev == markerOf(blk, bi),
           s"blockedTopK checkpoint ${cpPath.get} was written for a different " +
-            s"block slice ($prev vs ${markerOf(blk)}) — refusing stale resume")
+            s"block slice ($prev vs ${markerOf(blk, bi)}) — refusing stale resume")
         spark.read.parquet(cpPath.get)
       } else {
         val bc = spark.sparkContext.broadcast(blk)
@@ -196,8 +203,7 @@ object KnnJoin {
         val merged = cpPath match {
           case Some(p) =>
             mergedPlan.write.mode("overwrite").parquet(p)
-            java.nio.file.Files.write(markerFile.get.toPath, markerOf(blk)
-              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            graft.core.CpIO.writeString(markerPath.get, markerOf(blk, bi))
             spark.read.parquet(p)
           case None => graft.ops.graph.PlanUtil.cutDF(mergedPlan)
         }
@@ -363,8 +369,17 @@ object KnnJoin {
     // aggregation order, so a resumed drain that re-trained could probe
     // DIFFERENT lists than the blocks it is resuming — persisted
     // centroids make resume exact, not approximately-the-same
+    // dir-level knob guard (same contract as the distributed build's
+    // FINGERPRINT): the centroids/routed stages and the block markers are
+    // only valid for the knob set that produced them — a reused dir with
+    // different nlist/nprobe/k/kernel must fail loudly, not serve stale
+    // stages. Base/query identity stays the caller's dir-naming contract,
+    // backstopped by the centroid-grid hash folded into block markers.
+    checkpointDir.foreach(d => graft.core.CpIO.guardFingerprint(d,
+      s"k=$k,nlist=$nlist,nprobe=$nprobe,kmIters=$kmIters," +
+        s"trainCap=$trainCap,metric=$metric,kernel=${graft.core.CpIO.KernelVersion}")(spark))
     def hasCp(name: String): Boolean = checkpointDir.exists(d =>
-      new java.io.File(s"$d/$name/_SUCCESS").exists())
+      graft.core.CpIO.exists(s"$d/$name/_SUCCESS")(spark))
     val cents: Array[(Int, Array[Float])] =
       if (hasCp("centroids"))
         spark.read.parquet(s"${checkpointDir.get}/centroids")
@@ -445,11 +460,26 @@ object KnnJoin {
       .toLocalIterator().asScala
       .map { case (id, v, ps) => (id, widen(v, norm), ps) }
 
+    // base-identity proxy for the block markers: the centroid grid is a
+    // deterministic function of the base corpus (hash-sampled, persisted
+    // on first run and re-read on resume), so a resume against a DIFFERENT
+    // base under the same dir name almost surely changes this hash and is
+    // refused instead of mixing blocks across corpora
+    val centIdHash = {
+      var h = 1125899906842597L
+      var ci = 0
+      while (ci < cents.length) {
+        h = h * 31 + java.util.Arrays.hashCode(cents(ci)._2); ci += 1
+      }
+      h
+    }
     val out = blockedTopK(spark, qIt, queryBlockRows, k,
       "IVF kNN join: empty query set",
       checkpointDir = checkpointDir,
       blockKey = if (checkpointDir.isEmpty) null
-                 else (q: (Long, Array[Double], Array[Int])) => q._1) { bc =>
+                 else (q: (Long, Array[Double], Array[Int])) => q._1,
+      markerContext = s"k=$k,np=$nprobe,cents=$centIdHash," +
+        graft.core.CpIO.KernelVersion) { bc =>
       routed.mapPartitions { it =>
         val qs = bc.value
         // centroid → indices of the block's queries probing it, so a base

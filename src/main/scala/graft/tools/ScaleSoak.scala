@@ -163,13 +163,20 @@ object ScaleSoak {
     // measured and printed. --knnOnly exits after the prefix (+ report).
     val trainKnnMode = a.getOrElse("trainKnn", "exact")
     val exactKnnPath = s"$basePath.knn_${trainQ}_${params.mSq}"
+    // full prefix identity: corpus (basePath bakes n/dim/centers/noise) +
+    // train set (trainQ, mSq) + prefix mode (approx bakes nlist/nprobe).
+    // The --buildCp auto dir is keyed off THIS string, so resuming after
+    // changing any prefix knob lands in a DIFFERENT checkpoint dir instead
+    // of silently reusing a projection built from a different kNN input
+    // (ADVICE r11 medium).
+    val knnIdPath = trainKnnMode match {
+      case "exact" => exactKnnPath
+      case "approx" =>
+        s"$exactKnnPath.approx_${a.getOrElse("nlist", "1024")}_${a.getOrElse("nprobe", "64")}"
+      case other => sys.error(s"unknown --trainKnn mode: $other")
+    }
     val knn = if (!wantBuild) None else {
-      val knnPath = trainKnnMode match {
-        case "exact" => exactKnnPath
-        case "approx" =>
-          s"$exactKnnPath.approx_${a.getOrElse("nlist", "1024")}_${a.getOrElse("nprobe", "64")}"
-        case other => sys.error(s"unknown --trainKnn mode: $other")
-      }
+      val knnPath = knnIdPath
       if (!new java.io.File(s"$knnPath/_SUCCESS").exists()) {
         val tk = System.nanoTime()
         val lists =
@@ -283,9 +290,12 @@ object ScaleSoak {
           // per-batch supply, merged adjacency) so a build killed at a
           // wall/preemption boundary resumes instead of restarting — the
           // 10M regime's build exceeds any single measurement window.
-          // "auto" derives a dir keyed by corpus + knobs under --out.
+          // "auto" derives a dir keyed by the FULL kNN-input identity
+          // (corpus + train + prefix knobs, via knnIdPath) + build degree
+          // knobs; the remaining dataflow knobs (fw/mr/seeds/p2b/kernel)
+          // are guarded by the dir's FINGERPRINT inside build().
           val buildCp = a.get("buildCp").map {
-            case "auto" => s"$out/build_cp_${n}_d${Dim}_m${params.mPjbp}_l${params.lPjpq}"
+            case "auto" => s"$knnIdPath.build_cp_m${params.mPjbp}_l${params.lPjpq}"
             case d      => d
           }
           buildCp.foreach(d => println(s"[soak] build checkpoints: $d"))

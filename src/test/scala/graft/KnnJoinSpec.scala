@@ -122,6 +122,46 @@ class KnnJoinSpec extends SparkSpec {
     rmTree(new java.io.File(cpDir))
   }
 
+  test("ivfApprox checkpoint dir refuses knob and tiling changes " +
+       "(stale-stage guard)") {
+    // ADVICE r11: a reused checkpoint dir under different k/nprobe/nlist
+    // (or a different block tiling) must fail LOUDLY — previously
+    // completed blocks/stages would otherwise be served verbatim with
+    // results computed under the old knobs.
+    val emb = Tables.vectors(spark, sf0001)
+    val q = emb.filter(col("id") < 40)
+    val b = emb.filter(col("id") >= 40)
+    def run(k: Int, nlist: Int, nprobe: Int, blockRows: Int, dir: String) =
+      KnnJoin.ivfApprox(q, b, k, Metric.L2, nlist = nlist, nprobe = nprobe,
+        kmIters = 2, queryBlockRows = blockRows,
+        checkpointDir = Some(dir)).count()
+    val cpDir = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "knn_cp_knobs")
+      .toString
+    run(5, 8, 8, 16, cpDir)
+
+    // different k: refused at the dir FINGERPRINT, before any stage read
+    val eK = intercept[Exception] { run(6, 8, 8, 16, cpDir) }
+    assert(eK.getMessage.contains("refusing to mix stage outputs"),
+      eK.getMessage)
+    // different nprobe: same guard
+    val eP = intercept[Exception] { run(5, 8, 4, 16, cpDir) }
+    assert(eP.getMessage.contains("refusing to mix stage outputs"),
+      eP.getMessage)
+    // same knobs, different tiling (queryBlockRows): the dir fingerprint
+    // matches but block_0's marker was written for a different slice
+    // shape — refused at the marker, never served
+    val eT = intercept[Exception] { run(5, 8, 8, 8, cpDir) }
+    assert(eT.getMessage.contains("refusing stale resume"), eT.getMessage)
+    // unchanged knobs still resume cleanly after the refused attempts
+    assert(run(5, 8, 8, 16, cpDir) === q.count())
+
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmTree); f.delete()
+    }
+    rmTree(new java.io.File(cpDir))
+  }
+
   test("ivfApprox under partial probing keeps high agreement with exact") {
     // clustered corpus (the geometry IVF exists for): probing a quarter of
     // the lists must retain >= 0.9 mean overlap with the exact top-k

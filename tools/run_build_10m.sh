@@ -11,7 +11,9 @@
 # it runs CHECKPOINTED (--buildCp auto): phase-1 projection, each of the
 # 64 phase-2 self-search batches (~15 min each — the preemption
 # granularity), and the merged adjacency persist under
-# target/soak10m/build_cp_*; kill it at any wall boundary and relaunch
+# <knn-artifact-path>.build_cp_m48_l96 (auto keys the dir off the FULL
+# kNN-input identity — corpus, train, prefix knobs — so a knob change
+# can never silently reuse stale stages); kill it at any wall boundary and relaunch
 # this script to resume after the last completed stage. FINGERPRINT
 # guards knob identity across resumes.
 #
@@ -30,12 +32,25 @@
 #   --agreeSample 1000: exact-kNN spot check of the approx prefix (the
 #   full exact twin is unaffordable at this regime) — the committable
 #   agreement evidence, ~5 min.
+# Single-writer guard (VERDICT r11 "what's wrong" 2): same lock as
+# run_prefix_10m.sh — the build reads the prefix artifact and both
+# write under target/soak10m, so neither may run while the other does.
+LOCK=target/soak10m/.writer.lock
+mkdir -p target/soak10m
+if [ -f "$LOCK" ] && kill -0 "$(cat "$LOCK")" 2>/dev/null; then
+  echo "REFUSING to launch: PID $(cat "$LOCK") already owns target/soak10m" >&2
+  echo "(kill it or delete $LOCK if stale)" >&2
+  exit 1
+fi
+echo $$ > "$LOCK"
+trap 'rm -f "$LOCK"' EXIT
 OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio java.util java.util.concurrent java.util.concurrent.atomic sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
+CP_DIR="${GRAFT_CLASSES:-target/scala-2.13/classes}"
 SPARK_GRAFT_CPUS=24 java -Xmx26g $OPENS -XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64 \
-  -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+  -cp "$CP_DIR:/opt/spark/jars/*" \
   graft.tools.ScaleSoak --n 10000000 --dim 200 --trainQ 500000 --mSq 32 \
   --mPjbp 48 --lPjpq 96 --trainKnn approx --nlist 4096 --nprobe 512 \
   --agreeSample 1000 --buildCp auto \

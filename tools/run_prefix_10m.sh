@@ -27,12 +27,27 @@
 # would grow the prefix output 3.1x (50M vs 16M rows) and per-query
 # heap-pop cost for zero measured benefit. The artifact name bakes
 # mSq in, so a future k=100 prefix coexists rather than clobbers.
+# Single-writer guard (VERDICT r11 "what's wrong" 2): the round-11
+# duplicate-relaunch raced two JVMs on one parquet path for 26 min.
+# Both 10m launchers share this lock — the build reads the prefix's
+# artifact and both write under target/soak10m, so they must never
+# overlap either.
+LOCK=target/soak10m/.writer.lock
+mkdir -p target/soak10m
+if [ -f "$LOCK" ] && kill -0 "$(cat "$LOCK")" 2>/dev/null; then
+  echo "REFUSING to launch: PID $(cat "$LOCK") already owns target/soak10m" >&2
+  echo "(kill it or delete $LOCK if stale)" >&2
+  exit 1
+fi
+echo $$ > "$LOCK"
+trap 'rm -f "$LOCK"' EXIT
 OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio java.util java.util.concurrent java.util.concurrent.atomic sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
+CP_DIR="${GRAFT_CLASSES:-target/scala-2.13/classes}"
 SPARK_GRAFT_CPUS=24 java -Xmx24g $OPENS -XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64 \
-  -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+  -cp "$CP_DIR:/opt/spark/jars/*" \
   graft.tools.ScaleSoak --n 10000000 --dim 200 --trainQ 500000 --mSq 32 \
   --trainKnn approx --nlist 4096 --nprobe 512 --knnOnly \
   --shuffle 256 --tier dist --out target/soak10m --db graft_soak_10m "$@"
