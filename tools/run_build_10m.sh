@@ -18,10 +18,17 @@
 # guards knob identity across resumes.
 #
 # Sizing vs the measured 2M (48,96) rung:
-#   p2b 64  -> ~156k-node slices; per-batch pool shuffle ~12 GB scratch
-#              (2M ran 125k x 128d ~ 6 GB) — finer than the n/262144
-#              default for resume granularity; MUST stay fixed across
-#              resumes (slicing is part of the checkpoint fingerprint).
+#   p2b 128 -> ~78k-node slices. MEASURED correction (round 12,
+#              build_10m_r12.log): at p2b 64 the first batch's BSP
+#              rounds spilled ~12-15 GB PER ROUND and the shuffle-file
+#              cleaner (driver-GC-driven, periodicGC 60s) lagged the
+#              ~60 s round cadence, so live spill crossed the box's
+#              ~60 GB free disk 4-5 rounds in -> ENOSPC killed the JVM
+#              (this box's real writable pool is ~94 GB, not df's
+#              252 GB). Halving the slice halves per-round spill;
+#              with ~70 GB free that is >2x headroom at the observed
+#              growth rate. MUST stay fixed across resumes (slicing is
+#              part of the checkpoint fingerprint).
 #   mrb 256 -> keeps per-slice supply-merge scratch at the 2M rung's
 #              measured 34.7 GB peak (volume scales x7.8 = 5x n x1.56
 #              dim; 256/32 = 8x more slices).
@@ -54,5 +61,5 @@ SPARK_GRAFT_CPUS=24 java -Xmx26g $OPENS -XX:+UnlockDiagnosticVMOptions -XX:GCLoc
   graft.tools.ScaleSoak --n 10000000 --dim 200 --trainQ 500000 --mSq 32 \
   --mPjbp 48 --lPjpq 96 --trainKnn approx --nlist 4096 --nprobe 512 \
   --agreeSample 1000 --buildCp auto \
-  --fw 4 --p2b 64 --mrb 256 --shuffle 256 --seeds 128 --l 1000 --tier dist \
+  --fw 4 --p2b 128 --mrb 256 --shuffle 256 --seeds 128 --l 1000 --tier dist \
   --out target/soak10m --db graft_soak_10m_48_96 "$@"
