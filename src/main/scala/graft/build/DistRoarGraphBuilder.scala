@@ -328,14 +328,21 @@ object DistRoarGraphBuilder {
     // each batch is its own durable stage (supply_b<i>_of<B>): a build
     // killed after batch i resumes at batch i+1 — at the 10M regime a
     // batch is tens of minutes, so this is the preemption granularity
+    // one pin for ALL batches: every batch searches the same frozen
+    // phase-1 snapshot, so the n-row vector/adjacency shuffle is paid
+    // once per build, not once per batch (at 192 batches the per-batch
+    // re-pin would re-shuffle ~1.6 TB of vector bytes). Lazy: a fully
+    // checkpointed resume (every batch a hit) never builds it.
+    var p2Pin: Option[BspBeamSearch.Pinned] = None
     def batchSupply(queries: DataFrame, name: String): (DataFrame, () => Unit) = {
       var scopeRelease: () => Unit = () => ()
       val cutRel = durableCut(checkpointDir, name) {
+        if (p2Pin.isEmpty) p2Pin = Some(BspBeamSearch.pin(projection, baseN))
         val scope = new graft.ops.graph.CpScope
         val ss = BspBeamSearch.search(
           projection, baseN, queries, k = params.lPjpq, l = params.lPjpq,
           ep, scoreMetric, frontierWidth, maxRounds, excludeSelf = true,
-          extraSeeds = p2Seeds, scope = scope)
+          extraSeeds = p2Seeds, scope = scope, pinned = p2Pin)
         scopeRelease = () => scope.releaseAll()
         supplyPools(ss)
       }
@@ -351,6 +358,7 @@ object DistRoarGraphBuilder {
       }
     val supplyFwdCut = batchCuts.map(_._1).reduce(_.unionByName(_))
     val relSupplyFwd = () => batchCuts.foreach(_._2())
+    p2Pin.foreach(_.release()) // every batch is cut; the shared pin is dead
     lap("phase2-selfsearch")
 
     // ---- supply reverse (G12 cap 2m) + overflow prune to m (G11), then

@@ -7,23 +7,37 @@ import org.apache.spark.sql.functions._
 /** BSP (bulk-synchronous) graph search — the 100 TB-scale path for Q1 when
   * the index does NOT fit executor memory (SURVEY.md §7.4 item 1). The
   * broadcast kernel (RoarGraphBuilder.searchBatch) is the fast path; this
-  * variant keeps the graph and vectors as DataFrames (bucketed/partitioned
-  * by node id at scale) and advances every query's beam one synchronized
-  * hop per round:
+  * variant keeps the graph and vectors distributed and advances every
+  * query's beam one synchronized hop per round.
   *
-  *   round = explode frontiers → join adjacency (shuffle keyed by node) →
-  *           join vectors (same key) → per-query merge into a bounded
-  *           (dist,id)-sorted pool → next frontier = best unexpanded pool
-  *           entries.
+  * Round dataflow — MOVE IDS, NOT PAYLOADS (re-shaped in round 12 after
+  * measuring the 10M×200d build: the original per-round plan re-shuffled
+  * the full 10M-row adjacency AND vector tables every round — ~14 GB of
+  * sort-merge input — and carried each candidate's 828 B vector through
+  * two more exchanges, ~25 GB of spill per round, which both set the
+  * ~45 s/round fixed wall and overran the box's disk):
   *
-  * The per-round dataflow is two keyed joins plus the cogroup merge — no
-  * broadcast, no driver data, lineage cut per round via localCheckpoint.
-  * The query VECTOR rides inside the per-query state row (|Q| × dim,
-  * tiny beside the pool), so scoring happens inside the merge where the
-  * query vector already is: candidate rows shuffle to the cogroup exactly
-  * once, and the query-vector table is never re-joined after round 0
-  * (re-joining it cost one extra keyed shuffle of the scored rows per
-  * round). Policy difference vs
+  *   once per search: adjacency and vectors are pinned to a
+  *   HashPartitioner and persisted (partitioner-aware RDDs — the one
+  *   place DataFrames can't express "this side never re-shuffles across
+  *   an iterative loop", since a lineage cut erases outputPartitioning);
+  *   the query slice's vectors are broadcast (|slice| × dim — bounded by
+  *   the caller's batching contract, the same declared class as the
+  *   drain's 100k-query broadcast blocks in KnnJoin.blockedTopK).
+  *
+  *   round = frontier (qid, node) ids, partitioned to the pinned layout →
+  *           narrow join with adjacency → (nbr, qid) id pairs, one skinny
+  *           shuffle → per-partition dedup → narrow zip with the pinned
+  *           vector partition, scoring dist(broadcast qvec, vec) AT the
+  *           vector's partition → (qid, nbr, dist) 24 B rows → per-query
+  *           merge into a bounded (dist,id)-sorted pool → next frontier =
+  *           best unexpanded pool entries.
+  *
+  * Only id/dist triples ever cross an exchange after init; vector bytes
+  * move zero times per round (they moved once, at the pin). Scoring uses
+  * the same `Metric.dist` on the same floats as the previous shape, and
+  * the pool merge is insertion-order-deduped, so results are
+  * bit-identical (golden-hash spec-gated). Policy difference vs
   * the single-node kernel: the visited set is the pool itself (entries
   * evicted past L may be revisited), which is the standard batch
   * approximation; the recall gate in BspBeamSearchSpec measures it.
@@ -32,6 +46,45 @@ object BspBeamSearch {
 
   /** (dist, id, expanded) pool entry; pools stay sorted by (dist, id). */
   final case class Entry(dist: Double, id: Long, expanded: Boolean)
+
+  /** A graph+vector pair pinned to one partitioner and persisted — build
+    * it ONCE with [[pin]] when many search() calls share the same
+    * (adj, vectors) (the phase-2 batch loop runs hundreds of searches
+    * over one frozen snapshot; re-pinning per call re-shuffles the n-row
+    * vector table every batch). The caller owns release(). */
+  final class Pinned private[BspBeamSearch] (
+      private[graph] val adjRdd: org.apache.spark.rdd.RDD[(Long, Array[Long])],
+      private[graph] val vecRdd: org.apache.spark.rdd.RDD[(Long, Array[Float])],
+      private[graph] val part: org.apache.spark.HashPartitioner) {
+    def release(): Unit = {
+      adjRdd.unpersist(blocking = false)
+      vecRdd.unpersist(blocking = false)
+    }
+  }
+
+  /** Pin `adj` + `vectors` for reuse across search() calls (see
+    * [[Pinned]]). Materializes both eagerly so the first search pays no
+    * hidden pin cost. The DataFrames passed to search() alongside this
+    * handle MUST be the same tables. */
+  def pin(adj: DataFrame, vectors: DataFrame): Pinned = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val part = new org.apache.spark.HashPartitioner(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    val adjRdd = adj
+      .select(col("src").cast("long"), col("nbrs").cast("array<long>"))
+      .as[(Long, Array[Long])].rdd
+      .partitionBy(part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vecRdd = vectors
+      .select(col("id").cast("long"), col("vec"))
+      .as[(Long, Array[Float])].rdd
+      .partitionBy(part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    adjRdd.count()
+    vecRdd.count()
+    new Pinned(adjRdd, vecRdd, part)
+  }
 
   /** Deterministic shared entry seeds — the `s` node ids with smallest
     * (xxhash64(id), id): uniform over the id universe regardless of
@@ -64,13 +117,36 @@ object BspBeamSearch {
              frontierWidth: Int = 4, maxRounds: Int = 64,
              excludeSelf: Boolean = false,
              extraSeeds: Seq[Long] = Nil,
-             scope: CpScope = null): DataFrame = {
+             scope: CpScope = null,
+             pinned: Option[Pinned] = None): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
     require(!metric.needNormalize,
       "BSP search expects pre-normalized inputs for cosine (normalize-then-IP)")
 
     val qvecs = queries.select(col("id").cast("long").as("qid"), col("vec").as("qvec"))
+
+    // Pin the big sides to one partitioner for the whole search: every
+    // round's joins against them are then NARROW (zero re-shuffle of the
+    // n-row tables — the round-12 measured fix; see object doc). persist
+    // MEMORY_AND_DISK: at 10M×200d the vector side is ~8 GB — storage
+    // overflow spills, it is never recomputed. A caller-supplied Pinned
+    // handle shares one pin across many searches (phase-2 batches).
+    val ownPin = pinned.isEmpty
+    val thePin = pinned.getOrElse(pin(adj, vectors))
+    val part = thePin.part
+    val adjRdd = thePin.adjRdd
+    val vecRdd = thePin.vecRdd
+
+    // Query vectors broadcast once: |slice| × dim, bounded by the caller
+    // (phase-2 batching / eval-set size) — the same declared broadcast
+    // class as KnnJoin's query blocks. Scoring then happens at the
+    // CANDIDATE vector's partition and only (qid, nbr, dist) ships.
+    val qvBc = spark.sparkContext.broadcast {
+      val m = new java.util.HashMap[Long, Array[Float]]()
+      qvecs.as[(Long, Array[Float])].collect().foreach { case (id, v) => m.put(id, v) }
+      m
+    }
 
     def mergePool(pool: Array[Entry], cands: Iterator[(Long, Double)]): Array[Entry] = {
       val seen = new java.util.HashMap[Long, Entry]()
@@ -117,23 +193,42 @@ object BspBeamSearch {
     var round = 0
     var done = false
     while (!done && round < maxRounds) {
-      // frontier: best `frontierWidth` unexpanded entries per query
-      val frontier = state.flatMap { case (qid, _, pool) =>
+      // frontier: best `frontierWidth` unexpanded entries per query —
+      // skinny (node, qid) id pairs routed to the pinned adjacency layout
+      val frontierRdd = state.flatMap { case (qid, _, pool) =>
         pool.iterator.filter(!_.expanded).take(frontierWidth)
-          .map(e => (qid, e.id))
-      }.toDF("qid", "node")
+          .map(e => (e.id, qid))
+      }.rdd.partitionBy(part)
 
-      // candidate gathering: two keyed joins, one (query, nbr, nbr-vector)
-      // row per candidate — scoring happens query-side in the cogroup,
-      // where the state row already holds the query vector
-      val cands = frontier
-        .join(adj, col("node") === col("src"))
-        .select(col("qid"), explode(col("nbrs")).as("nbr"))
-        .filter(if (excludeSelf) col("nbr") =!= col("qid") else lit(true))
-        .distinct()
-        .join(vectors, col("nbr") === col("id")) // shuffle keyed by node id
-        .select(col("qid"), col("nbr"), col("vec"))
-        .as[(Long, Long, Array[Float])]
+      // candidate gathering: narrow join with the pinned adjacency →
+      // (nbr, qid) id pairs (ONE skinny shuffle) → per-partition dedup
+      // (all copies of a (nbr, qid) pair co-locate under the nbr key; the
+      // original global distinct() existed to avoid shipping duplicate
+      // VECTOR rows — with id-only rows it collapses to this) → narrow
+      // zip with the pinned vector partition, scoring against the
+      // broadcast query vector where the candidate vector lives
+      val exSelf = excludeSelf
+      val mtr = metric
+      val scoredRdd = frontierRdd.join(adjRdd)
+        .flatMap { case (_, (qid, nbrs)) =>
+          nbrs.iterator.filter(n => !exSelf || n != qid).map(n => (n, qid))
+        }
+        .partitionBy(part)
+        .zipPartitions(vecRdd, preservesPartitioning = false) { (pit, vit) =>
+          val qv = qvBc.value
+          val vecs = new java.util.HashMap[Long, Array[Float]]()
+          vit.foreach { case (id, v) => vecs.put(id, v) }
+          val seen = new java.util.HashSet[(Long, Long)]()
+          pit.flatMap { case (nbr, qid) =>
+            if (!seen.add((nbr, qid))) Iterator.empty
+            else {
+              val v = vecs.get(nbr)
+              if (v == null) Iterator.empty // dangling edge: no such node
+              else Iterator.single((qid, nbr, mtr.dist(qv.get(qid), v)))
+            }
+          }
+        }
+      val cands = spark.createDataset(scoredRdd)
 
       // per-query merge: mark this round's frontier expanded, fold in cands.
       // Convergence is observed via an accumulator populated by the SAME job
@@ -152,8 +247,7 @@ object BspBeamSearch {
               if (!e.expanded && budget > 0) { budget -= 1; e.copy(expanded = true) }
               else e
             }
-            val merged = mergePool(marked,
-              cs.map(c => (c._2, metric.dist(qv, c._3))))
+            val merged = mergePool(marked, cs.map(c => (c._2, c._3)))
             if (merged.exists(!_.expanded)) unexpandedAcc.add(1)
             (qid, qv, merged)
           }
@@ -168,6 +262,11 @@ object BspBeamSearch {
       done = unexpandedAcc.value == 0
       round += 1
     }
+    // the final round's state is materialized (cut is eager), so the
+    // pin (when owned by this call) and the query broadcast are dead —
+    // freed here, not at scope release (search-internal, unlike the state)
+    if (ownPin) thePin.release()
+    qvBc.destroy()
     if (scope ne null) scope.add(releasePrev)
 
     state.map { case (qid, _, pool) =>

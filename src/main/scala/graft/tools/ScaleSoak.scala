@@ -100,8 +100,12 @@ object ScaleSoak {
       .config("spark.sql.warehouse.dir", s"$out/warehouse")
       // per-round BSP shuffles are tens of GB at n>=1M; aggressive driver
       // GC lets ContextCleaner delete dereferenced shuffle files fast
-      // enough that live spill stays within a couple of rounds' worth
-      .config("spark.cleaner.periodicGC.interval", "60s")
+      // enough that live spill stays within a couple of rounds' worth.
+      // 30s, MEASURED at the 10M regime (round 12): at 60s the cleaner
+      // lagged the ~60 s round cadence by ~3-5 min, holding ~25-40 GB of
+      // dead shuffle files live on a box whose writable pool is ~94 GB —
+      // the first p2b=64 launch died ENOSPC before reaching steady state
+      .config("spark.cleaner.periodicGC.interval", "30s")
       // never use the bypass-merge shuffle writer: it opens one buffered
       // DiskBlockObjectWriter PER REDUCE PARTITION PER TASK (LZ4 +
       // serializer buffers are untracked heap), which at threads ×
