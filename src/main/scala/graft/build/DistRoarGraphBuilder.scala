@@ -749,19 +749,31 @@ object DistRoarGraphBuilder {
                                 metric: Metric, appendCap: Int, pruneTo: Int,
                                 backfill: Boolean, capRev: Int,
                                 finalCap: Option[Int],
-                                batches: Int = 1): (DataFrame, () => Unit) =
+                                batches: Int = 1): (DataFrame, () => Unit) = {
+    // one vector pin shared by every slice: the slice joins used to
+    // re-shuffle the FULL n-row vector table three times PER SLICE
+    // (~6 TB of sort-merge input at 10M x mrb 256 — the same disease the
+    // round-12 BSP reshape fixed); with the pin, slices route only
+    // skinny edge ids and slice-bounded payload rows
+    val vp = BspBeamSearch.pinVectors(baseN)
     if (batches <= 1)
+      // the returned release follows the cutReleasable contract (call
+      // only after the result is materialized) — it frees the pin too
       (mergeReverseSlice(fwd, baseN, metric, appendCap, pruneTo, backfill,
-        capRev, finalCap, keepDst = lit(true)), () => ())
+        capRev, finalCap, keepDst = lit(true), vp = vp),
+        () => vp.release())
     else {
       val cuts = (0 until batches).map { b =>
         graft.ops.graph.PlanUtil.cutDFReleasable(
           mergeReverseSlice(fwd, baseN, metric, appendCap, pruneTo, backfill,
             capRev, finalCap,
-            keepDst = pmod(xxhash64(col("__dst")), lit(batches)) === lit(b)))
+            keepDst = pmod(xxhash64(col("__dst")), lit(batches)) === lit(b),
+            vp = vp))
       }
+      vp.release() // every slice is cut; the pin is dead
       (cuts.map(_._1).reduce(_.unionByName(_)), () => cuts.foreach(_._2()))
     }
+  }
 
   /** One destination slice of [[mergeReversePhase]]. `keepDst` is a
     * predicate over a column named `__dst` holding the destination src id
@@ -770,30 +782,47 @@ object DistRoarGraphBuilder {
                                 metric: Metric, appendCap: Int, pruneTo: Int,
                                 backfill: Boolean, capRev: Int,
                                 finalCap: Option[Int],
-                                keepDst: Column): DataFrame = {
+                                keepDst: Column,
+                                vp: BspBeamSearch.PinnedVecs): DataFrame = {
     val spark = fwd.sparkSession
     import spark.implicits._
-    val mn = metricName(metric)
+    val mtr = metric
     def dstFilter(df: DataFrame, dstCol: String): DataFrame = df
       .withColumn("__dst", col(dstCol)).where(keepDst).drop("__dst")
-    val otherVecs = baseN.select(col("id").as("other"), col("vec").as("ovec"))
-    val srcVecs = baseN.select(col("id").as("src"), col("vec").as("svec"))
 
-    val fwdE = dstFilter(fwd, "src")
-      .select(col("src"), posexplode(col("nbrs")).as(Seq("pos", "other")))
-      .join(otherVecs, "other")
+    // forward edges: skinny (other → (src, pos)) ids routed to the pin,
+    // vector attached where it lives, payload rows are slice-bounded
+    val fwdE = spark.createDataset(
+      BspBeamSearch.lookupVec(
+        dstFilter(fwd, "src")
+          .select(col("src"), posexplode(col("nbrs")).as(Seq("pos", "other")))
+          .as[(Long, Int, Long)].rdd
+          .map { case (src, pos, other) => (other, (src, pos)) }, vp)
+        .map { case (other, (src, pos), ovec) => (src, pos, other, ovec) })
+      .toDF("src", "pos", "other", "ovec")
       .groupBy("src")
       .agg(sort_array(collect_list(struct(col("pos"), col("other"), col("ovec"))))
         .as("fwdl"))
 
+    // reverse candidates: two narrow lookups (other's vector at its
+    // partition, then src's vector at its partition) and the distance
+    // computed right there — Metric.dist accumulates in double exactly
+    // like the Catalyst expression this replaces (the engine-wide shared
+    // float64 contract, Types.scala), so results are bit-identical
     val topRev = TopKVecAggregator.topKVec(capRev)
-    val revE = dstFilter(
-      fwd.select(col("src").as("other"), explode(col("nbrs")).as("src")), "src")
-      .join(otherVecs, "other")
-      .join(srcVecs, "src")
-      .select(col("src"), col("other"),
-        VectorFunctions.distByMetric(mn)(col("svec"), col("ovec")).as("d"),
-        col("ovec"))
+    val revE = spark.createDataset(
+      BspBeamSearch.lookupVec(
+        BspBeamSearch.lookupVec(
+          dstFilter(
+            fwd.select(col("src").as("other"), explode(col("nbrs")).as("src")),
+            "src")
+            .select(col("other"), col("src")) // fix positional order
+            .as[(Long, Long)].rdd, vp) // keyed by other → ovec
+          .map { case (other, src, ovec) => (src, (other, ovec)) }, vp)
+        .map { case (src, (other, ovec), svec) =>
+          (src, other, mtr.dist(svec, ovec), ovec)
+        })
+      .toDF("src", "other", "d", "ovec")
       .groupBy("src")
       .agg(topRev(col("other"), col("d"), col("ovec")).as("revl"))
 

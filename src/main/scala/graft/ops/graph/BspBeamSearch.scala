@@ -47,6 +47,50 @@ object BspBeamSearch {
   /** (dist, id, expanded) pool entry; pools stay sorted by (dist, id). */
   final case class Entry(dist: Double, id: Long, expanded: Boolean)
 
+  /** An (id → vec) table pinned to one partitioner and persisted, for
+    * repeated NARROW vector lookups without re-shuffling the n-row table
+    * (used by search rounds and by the build's reverse-merge slices —
+    * the round-12 measured fix; see object doc). Caller owns release(). */
+  final class PinnedVecs private[graph] (
+      private[graft] val rdd: org.apache.spark.rdd.RDD[(Long, Array[Float])],
+      private[graft] val part: org.apache.spark.HashPartitioner) {
+    def release(): Unit = rdd.unpersist(blocking = false)
+  }
+
+  /** Pin a vector table for reuse (see [[PinnedVecs]]); eager. */
+  def pinVectors(vectors: DataFrame): PinnedVecs = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val part = new org.apache.spark.HashPartitioner(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    val vecRdd = vectors
+      .select(col("id").cast("long"), col("vec"))
+      .as[(Long, Array[Float])].rdd
+      .partitionBy(part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    vecRdd.count()
+    new PinnedVecs(vecRdd, part)
+  }
+
+  /** Narrow keyed vector lookup against a pin: routes the skinny
+    * (id, payload) rows to the pin's layout (one small shuffle), then
+    * hash-joins each partition against its resident vector slice — the
+    * n-row table never re-shuffles. Rows whose id has no vector are
+    * dropped (the inner-join semantic every caller had). */
+  private[graft] def lookupVec[T](
+      rdd: org.apache.spark.rdd.RDD[(Long, T)], vp: PinnedVecs)(
+      implicit ct: scala.reflect.ClassTag[T])
+      : org.apache.spark.rdd.RDD[(Long, T, Array[Float])] =
+    rdd.partitionBy(vp.part)
+      .zipPartitions(vp.rdd, preservesPartitioning = false) { (eit, vit) =>
+        val vecs = new java.util.HashMap[Long, Array[Float]]()
+        vit.foreach { case (id, v) => vecs.put(id, v) }
+        eit.flatMap { case (k, t) =>
+          val v = vecs.get(k)
+          if (v == null) Iterator.empty else Iterator.single((k, t, v))
+        }
+      }
+
   /** A graph+vector pair pinned to one partitioner and persisted — build
     * it ONCE with [[pin]] when many search() calls share the same
     * (adj, vectors) (the phase-2 batch loop runs hundreds of searches
@@ -54,11 +98,12 @@ object BspBeamSearch {
     * vector table every batch). The caller owns release(). */
   final class Pinned private[BspBeamSearch] (
       private[graph] val adjRdd: org.apache.spark.rdd.RDD[(Long, Array[Long])],
-      private[graph] val vecRdd: org.apache.spark.rdd.RDD[(Long, Array[Float])],
-      private[graph] val part: org.apache.spark.HashPartitioner) {
+      private[graft] val vecs: PinnedVecs) {
+    private[graph] def vecRdd = vecs.rdd
+    private[graph] def part = vecs.part
     def release(): Unit = {
       adjRdd.unpersist(blocking = false)
-      vecRdd.unpersist(blocking = false)
+      vecs.release()
     }
   }
 
@@ -69,21 +114,14 @@ object BspBeamSearch {
   def pin(adj: DataFrame, vectors: DataFrame): Pinned = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val part = new org.apache.spark.HashPartitioner(
-      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    val vp = pinVectors(vectors)
     val adjRdd = adj
       .select(col("src").cast("long"), col("nbrs").cast("array<long>"))
       .as[(Long, Array[Long])].rdd
-      .partitionBy(part)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val vecRdd = vectors
-      .select(col("id").cast("long"), col("vec"))
-      .as[(Long, Array[Float])].rdd
-      .partitionBy(part)
+      .partitionBy(vp.part)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     adjRdd.count()
-    vecRdd.count()
-    new Pinned(adjRdd, vecRdd, part)
+    new Pinned(adjRdd, vp)
   }
 
   /** Deterministic shared entry seeds — the `s` node ids with smallest
