@@ -531,6 +531,12 @@ object DistRoarGraphBuilder {
     import spark.implicits._
     val cap = 3 * m
 
+    // vectors never change across repair rounds (only the adjacency
+    // does), so the vector half of the beam searches' pin is shared for
+    // the whole repair instead of re-shuffling the n-row table per round
+    val repairVecs = BspBeamSearch.pinVectors(
+      baseN.select(col("id"), col("vec")))
+
     var (adjCur, relAdjCur) = graft.ops.graph.PlanUtil.cutDFReleasable(
       adj0.select(col("src"), col("nbrs"), size(col("nbrs")).as("origCnt")))
     var remaining = 0L
@@ -566,7 +572,8 @@ object DistRoarGraphBuilder {
           val hits = BspBeamSearch.search(
             adjCur.select("src", "nbrs"), baseN, unreached, k = RepairC,
             l = math.max(16, 4 * RepairC), ep, metric,
-            frontierWidth, maxRounds, excludeSelf = true, scope = roundScope)
+            frontierWidth, maxRounds, excludeSelf = true, scope = roundScope,
+            sharedVecs = Some(repairVecs))
           val (a2, relA2, attached, relAttached) =
             absorbRound(adjCur, hits, cap, m, allowTrim)
           relAdjCur() // merged adjacency is cut; the prior round's is dead
@@ -654,6 +661,7 @@ object DistRoarGraphBuilder {
       relOrphans()
       fpass += 1
     }
+    repairVecs.release() // every consumer (beam rounds) is cut
     if (remaining > 0)
       println(s"[dist-build] WARNING: reachability repair exiting with " +
         s"$remaining unreachable node(s) after $pass pass(es) — callers " +

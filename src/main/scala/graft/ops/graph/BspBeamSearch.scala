@@ -111,10 +111,13 @@ object BspBeamSearch {
     * [[Pinned]]). Materializes both eagerly so the first search pays no
     * hidden pin cost. The DataFrames passed to search() alongside this
     * handle MUST be the same tables. */
-  def pin(adj: DataFrame, vectors: DataFrame): Pinned = {
-    val spark = vectors.sparkSession
+  def pin(adj: DataFrame, vectors: DataFrame): Pinned =
+    pinAdjOnto(adj, pinVectors(vectors))
+
+  /** Pin an adjacency onto an existing vector pin's layout; eager. */
+  private def pinAdjOnto(adj: DataFrame, vp: PinnedVecs): Pinned = {
+    val spark = adj.sparkSession
     import spark.implicits._
-    val vp = pinVectors(vectors)
     val adjRdd = adj
       .select(col("src").cast("long"), col("nbrs").cast("array<long>"))
       .as[(Long, Array[Long])].rdd
@@ -156,7 +159,8 @@ object BspBeamSearch {
              excludeSelf: Boolean = false,
              extraSeeds: Seq[Long] = Nil,
              scope: CpScope = null,
-             pinned: Option[Pinned] = None): DataFrame = {
+             pinned: Option[Pinned] = None,
+             sharedVecs: Option[PinnedVecs] = None): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
     require(!metric.needNormalize,
@@ -170,8 +174,14 @@ object BspBeamSearch {
     // MEMORY_AND_DISK: at 10M×200d the vector side is ~8 GB — storage
     // overflow spills, it is never recomputed. A caller-supplied Pinned
     // handle shares one pin across many searches (phase-2 batches).
+    // Ownership: a caller-supplied Pinned is released by the caller; with
+    // only sharedVecs (the repair loop: adjacency CHANGES between rounds
+    // but vectors never do) this call pins and releases the adj half and
+    // leaves the shared vector half alone.
     val ownPin = pinned.isEmpty
-    val thePin = pinned.getOrElse(pin(adj, vectors))
+    val ownVecs = pinned.isEmpty && sharedVecs.isEmpty
+    val thePin = pinned.getOrElse(
+      pinAdjOnto(adj, sharedVecs.getOrElse(pinVectors(vectors))))
     val part = thePin.part
     val adjRdd = thePin.adjRdd
     val vecRdd = thePin.vecRdd
@@ -301,9 +311,12 @@ object BspBeamSearch {
       round += 1
     }
     // the final round's state is materialized (cut is eager), so the
-    // pin (when owned by this call) and the query broadcast are dead —
-    // freed here, not at scope release (search-internal, unlike the state)
-    if (ownPin) thePin.release()
+    // pin (the halves owned by this call) and the query broadcast are
+    // dead — freed here, not at scope release (search-internal)
+    if (ownPin) {
+      thePin.adjRdd.unpersist(blocking = false)
+      if (ownVecs) thePin.vecs.release()
+    }
     qvBc.destroy()
     if (scope ne null) scope.add(releasePrev)
 
