@@ -18,7 +18,10 @@
 # guards knob identity across resumes.
 #
 # Sizing vs the measured 2M (48,96) rung:
-#   p2b 128 -> ~78k-node slices. MEASURED correction (round 12,
+#   p2b 192 -> ~52k-node slices, matching the banked round-12
+#              checkpoint's FINGERPRINT (p2b=192) so a BARE relaunch of
+#              this script resumes it (VERDICT r12 "what's wrong" 1).
+#              MEASURED correction (round 12,
 #              build_10m_r12.log): at p2b 64 the first batch's BSP
 #              rounds spilled ~12-15 GB PER ROUND and the shuffle-file
 #              cleaner (driver-GC-driven, periodicGC 60s) lagged the
@@ -44,12 +47,21 @@
 # write under target/soak10m, so neither may run while the other does.
 LOCK=target/soak10m/.writer.lock
 mkdir -p target/soak10m
-if [ -f "$LOCK" ] && kill -0 "$(cat "$LOCK")" 2>/dev/null; then
-  echo "REFUSING to launch: PID $(cat "$LOCK") already owns target/soak10m" >&2
-  echo "(kill it or delete $LOCK if stale)" >&2
-  exit 1
+# Atomic acquisition (noclobber): the create IS the probe, so two
+# launches racing the same window cannot both acquire (ADVICE r12).
+# Stale-PID fallback only runs when the create fails.
+if ! ( set -C; echo $$ > "$LOCK" ) 2>/dev/null; then
+  if kill -0 "$(cat "$LOCK" 2>/dev/null)" 2>/dev/null; then
+    echo "REFUSING to launch: PID $(cat "$LOCK") already owns target/soak10m" >&2
+    echo "(kill it or delete $LOCK if stale)" >&2
+    exit 1
+  fi
+  rm -f "$LOCK"
+  if ! ( set -C; echo $$ > "$LOCK" ) 2>/dev/null; then
+    echo "REFUSING to launch: lost the lock race on $LOCK" >&2
+    exit 1
+  fi
 fi
-echo $$ > "$LOCK"
 trap 'rm -f "$LOCK"' EXIT
 OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio java.util java.util.concurrent java.util.concurrent.atomic sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
@@ -61,5 +73,5 @@ SPARK_GRAFT_CPUS=24 java -Xmx26g $OPENS -XX:+UnlockDiagnosticVMOptions -XX:GCLoc
   graft.tools.ScaleSoak --n 10000000 --dim 200 --trainQ 500000 --mSq 32 \
   --mPjbp 48 --lPjpq 96 --trainKnn approx --nlist 4096 --nprobe 512 \
   --agreeSample 1000 --buildCp auto \
-  --fw 4 --p2b 128 --mrb 256 --shuffle 256 --seeds 128 --l 1000 --tier dist \
+  --fw 4 --p2b 192 --mrb 256 --shuffle 256 --seeds 128 --l 1000 --tier dist \
   --out target/soak10m --db graft_soak_10m_48_96 "$@"

@@ -34,12 +34,21 @@
 # overlap either.
 LOCK=target/soak10m/.writer.lock
 mkdir -p target/soak10m
-if [ -f "$LOCK" ] && kill -0 "$(cat "$LOCK")" 2>/dev/null; then
-  echo "REFUSING to launch: PID $(cat "$LOCK") already owns target/soak10m" >&2
-  echo "(kill it or delete $LOCK if stale)" >&2
-  exit 1
+# Atomic acquisition (noclobber): the create IS the probe, so two
+# launches racing the same window cannot both acquire (ADVICE r12).
+# Stale-PID fallback only runs when the create fails.
+if ! ( set -C; echo $$ > "$LOCK" ) 2>/dev/null; then
+  if kill -0 "$(cat "$LOCK" 2>/dev/null)" 2>/dev/null; then
+    echo "REFUSING to launch: PID $(cat "$LOCK") already owns target/soak10m" >&2
+    echo "(kill it or delete $LOCK if stale)" >&2
+    exit 1
+  fi
+  rm -f "$LOCK"
+  if ! ( set -C; echo $$ > "$LOCK" ) 2>/dev/null; then
+    echo "REFUSING to launch: lost the lock race on $LOCK" >&2
+    exit 1
+  fi
 fi
-echo $$ > "$LOCK"
 trap 'rm -f "$LOCK"' EXIT
 OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio java.util java.util.concurrent java.util.concurrent.atomic sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
