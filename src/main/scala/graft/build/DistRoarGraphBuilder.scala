@@ -445,6 +445,17 @@ object DistRoarGraphBuilder {
     * boundary node; dropped members re-attach next round through the
     * members that DID get in (geometric drain). */
   private val RepairC = 2
+
+  /** Max queries per repair beam-search call (ADVICE r12): the repair
+    * loop feeds every currently-unreachable node as queries, which on a
+    * badly-connected graph is unbounded — BspBeamSearch broadcasts the
+    * query vectors, so an unbatched call is a driver/executor OOM, not a
+    * spill. 500k × 200d ≈ 400 MB, the same measured broadcast class as
+    * the 10M prefix's query blocks (tools/run_prefix_10m.sh). Slices of
+    * one round search the SAME frozen adjacency, so per-query results
+    * are identical to the unsliced call; the adjacency is pinned once
+    * per round and shared across slices (no per-slice re-shuffle). */
+  private val RepairQueryBatch = 500000
   private val RepairMaxRounds = 8
   private val RepairMaxPasses = 3
   /** Bound on exact-backstop attach passes after the beam rounds exhaust
@@ -569,11 +580,35 @@ object DistRoarGraphBuilder {
           // what drains islands: once boundary members attach, the next
           // round's beams walk through them into the island interior)
           val roundScope = new graft.ops.graph.CpScope
-          val hits = BspBeamSearch.search(
-            adjCur.select("src", "nbrs"), baseN, unreached, k = RepairC,
-            l = math.max(16, 4 * RepairC), ep, metric,
-            frontierWidth, maxRounds, excludeSelf = true, scope = roundScope,
-            sharedVecs = Some(repairVecs))
+          val hits =
+            if (remaining <= RepairQueryBatch)
+              BspBeamSearch.search(
+                adjCur.select("src", "nbrs"), baseN, unreached, k = RepairC,
+                l = math.max(16, 4 * RepairC), ep, metric,
+                frontierWidth, maxRounds, excludeSelf = true,
+                scope = roundScope, sharedVecs = Some(repairVecs))
+            else {
+              // bounded query slices over ONE frozen (adjacency, vectors)
+              // pin: per-query results are independent given the frozen
+              // graph, so slice ∪ == unsliced (see RepairQueryBatch doc)
+              val nb = math.ceil(remaining.toDouble / RepairQueryBatch).toInt
+              val roundPin = BspBeamSearch.pinAdjOnto(
+                adjCur.select("src", "nbrs"), repairVecs)
+              val slices = (0 until nb).map { b =>
+                BspBeamSearch.search(
+                  adjCur.select("src", "nbrs"), baseN,
+                  unreached.filter(
+                    pmod(xxhash64(col("id")), lit(nb)) === lit(b)),
+                  k = RepairC, l = math.max(16, 4 * RepairC), ep, metric,
+                  frontierWidth, maxRounds, excludeSelf = true,
+                  scope = roundScope, pinned = Some(roundPin))
+              }
+              // each slice's result is cut (eager) inside search(), so
+              // the round pin's adjacency half is dead once all return;
+              // the vector half is the repair-lifetime shared pin
+              roundPin.releaseAdj()
+              slices.reduce(_ unionByName _)
+            }
           val (a2, relA2, attached, relAttached) =
             absorbRound(adjCur, hits, cap, m, allowTrim)
           relAdjCur() // merged adjacency is cut; the prior round's is dead

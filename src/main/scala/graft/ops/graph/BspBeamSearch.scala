@@ -47,6 +47,16 @@ object BspBeamSearch {
   /** (dist, id, expanded) pool entry; pools stay sorted by (dist, id). */
   final case class Entry(dist: Double, id: Long, expanded: Boolean)
 
+  /** Hard cap on the per-search query-vector broadcast (rows). 1M × 200d
+    * floats ≈ 850 MB on the driver + per-executor copy — the top of the
+    * declared bounded-broadcast class (KnnJoin's 100k-500k query blocks
+    * live well under it). Callers with more queries must slice (the
+    * repair loop does, at [[graft.build.DistRoarGraphBuilder]]'s
+    * RepairQueryBatch). Overridable for bigger driver heaps. */
+  private val MaxBroadcastQueriesProp = "graft.bsp.maxBroadcastQueries"
+  private def MaxBroadcastQueries: Int =
+    sys.props.get(MaxBroadcastQueriesProp).map(_.toInt).getOrElse(1000000)
+
   /** An (id → vec) table pinned to one partitioner and persisted, for
     * repeated NARROW vector lookups without re-shuffling the n-row table
     * (used by search rounds and by the build's reverse-merge slices —
@@ -105,6 +115,11 @@ object BspBeamSearch {
       adjRdd.unpersist(blocking = false)
       vecs.release()
     }
+    /** Release only the adjacency half — for pins built with
+      * [[pinAdjOnto]] over a LONGER-LIVED shared vector pin (the repair
+      * loop's per-round pin: adjacency changes between rounds, vectors
+      * never do). */
+    def releaseAdj(): Unit = adjRdd.unpersist(blocking = false)
   }
 
   /** Pin `adj` + `vectors` for reuse across search() calls (see
@@ -114,8 +129,11 @@ object BspBeamSearch {
   def pin(adj: DataFrame, vectors: DataFrame): Pinned =
     pinAdjOnto(adj, pinVectors(vectors))
 
-  /** Pin an adjacency onto an existing vector pin's layout; eager. */
-  private def pinAdjOnto(adj: DataFrame, vp: PinnedVecs): Pinned = {
+  /** Pin an adjacency onto an existing vector pin's layout; eager.
+    * Release via [[Pinned.releaseAdj]] when `vp` outlives this pin
+    * (e.g. the repair loop's shared vector pin), [[Pinned.release]]
+    * when it does not. */
+  def pinAdjOnto(adj: DataFrame, vp: PinnedVecs): Pinned = {
     val spark = adj.sparkSession
     import spark.implicits._
     val adjRdd = adj
@@ -187,12 +205,22 @@ object BspBeamSearch {
     val vecRdd = thePin.vecRdd
 
     // Query vectors broadcast once: |slice| × dim, bounded by the caller
-    // (phase-2 batching / eval-set size) — the same declared broadcast
-    // class as KnnJoin's query blocks. Scoring then happens at the
-    // CANDIDATE vector's partition and only (qid, nbr, dist) ships.
+    // (phase-2 batching / eval-set size / repair's RepairQueryBatch
+    // slices) — the same declared broadcast class as KnnJoin's query
+    // blocks. Scoring then happens at the CANDIDATE vector's partition
+    // and only (qid, nbr, dist) ships. The caller contract is ENFORCED
+    // (ADVICE r12): collecting one row past the cap and failing loudly
+    // beats a silent driver OOM when a caller forgets to batch — and
+    // never materializes an unbounded set on the driver.
     val qvBc = spark.sparkContext.broadcast {
+      val cap = MaxBroadcastQueries
+      val rows = qvecs.limit(cap + 1).as[(Long, Array[Float])].collect()
+      require(rows.length <= cap,
+        s"BSP search: query slice exceeds the broadcast cap ($cap; " +
+          s"-D$MaxBroadcastQueriesProp to raise) — batch the caller " +
+          "(phase-2 batching / RepairQueryBatch slicing)")
       val m = new java.util.HashMap[Long, Array[Float]]()
-      qvecs.as[(Long, Array[Float])].collect().foreach { case (id, v) => m.put(id, v) }
+      rows.foreach { case (id, v) => m.put(id, v) }
       m
     }
 

@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.build.DistRoarGraphBuilder
-import graft.core.{BuildParams, Metric}
+import graft.core.{BuildParams, CpIO, Metric}
 import graft.ops.KnnJoin
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -137,7 +137,10 @@ object ScaleSoak {
 
     // materialize the corpus once as parquet so build reads a real table
     val basePath = s"$out/base_${n}_d${Dim}_c${Centers}_n$Noise"
-    if (!new java.io.File(s"$basePath/_SUCCESS").exists()) {
+    // _SUCCESS probes go through the session's Hadoop FS like the rest of
+    // the checkpoint metadata (ADVICE r12): a java.io.File probe silently
+    // never resumes when --out is hdfs:// or s3a://.
+    if (!CpIO.exists(s"$basePath/_SUCCESS")(spark)) {
       val t0 = System.nanoTime()
       corpus(spark, n, seed = 0x5EEDL).write.mode("overwrite").parquet(basePath)
       println(f"[soak] corpus written in ${(System.nanoTime() - t0) / 1e9}%.1f s")
@@ -181,7 +184,7 @@ object ScaleSoak {
     }
     val knn = if (!wantBuild) None else {
       val knnPath = knnIdPath
-      if (!new java.io.File(s"$knnPath/_SUCCESS").exists()) {
+      if (!CpIO.exists(s"$knnPath/_SUCCESS")(spark)) {
         val tk = System.nanoTime()
         val lists =
           if (trainKnnMode == "exact") KnnJoin(train, base, params.mSq, Metric.L2)
@@ -218,7 +221,7 @@ object ScaleSoak {
         println(f"""[soak] {"knn_agreement_sampled":$agree%.4f,"sample":$agreeSample,"k":${params.mSq},"sample_sec":${(System.nanoTime() - ta) / 1e9}%.1f}""")
       }
       if (trainKnnMode == "approx" &&
-          new java.io.File(s"$exactKnnPath/_SUCCESS").exists()) {
+          CpIO.exists(s"$exactKnnPath/_SUCCESS")(spark)) {
         // LEFT join from the exact side with zero credit for queries the
         // approx file lacks or left empty — an inner join would silently
         // exclude coverage gaps from the mean and overstate agreement
