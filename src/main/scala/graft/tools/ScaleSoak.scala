@@ -114,6 +114,17 @@ object ScaleSoak {
       // writers. The tungsten sort-based writer spills through tracked
       // memory and keeps one stream per task.
       .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+      // a multi-hour single-JVM build must SURVIVE a transient driver
+      // freeze (measured round 13: a ~170 s dispatcher stall during the
+      // 10M pin materialization tripped the 120 s heartbeat timeout;
+      // local-mode HeartbeatReceiver then "removed" the driver executor
+      // and the scheduler unraveled — the whole JVM died for a stall a
+      // batch would have absorbed). Local mode has no network: the
+      // heartbeat is driver self-monitoring, so a generous window only
+      // trades detection latency we don't need for robustness we do.
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.rpc.askTimeout", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

@@ -69,6 +69,7 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio 
 done
 CP_DIR="${GRAFT_CLASSES:-target/scala-2.13/classes}"
 SPARK_GRAFT_CPUS=24 java -Xmx26g $OPENS -XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64 \
+  -Xlog:gc*:file=target/soak10m/gc_build.log:time,uptime:filecount=2,filesize=50m \
   -cp "$CP_DIR:/opt/spark/jars/*" \
   graft.tools.ScaleSoak --n 10000000 --dim 200 --trainQ 500000 --mSq 32 \
   --mPjbp 48 --lPjpq 96 --trainKnn approx --nlist 4096 --nprobe 512 \
