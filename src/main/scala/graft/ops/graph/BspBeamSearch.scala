@@ -209,16 +209,20 @@ object BspBeamSearch {
     // slices) — the same declared broadcast class as KnnJoin's query
     // blocks. Scoring then happens at the CANDIDATE vector's partition
     // and only (qid, nbr, dist) ships. The caller contract is ENFORCED
-    // (ADVICE r12): collecting one row past the cap and failing loudly
-    // beats a silent driver OOM when a caller forgets to batch — and
-    // never materializes an unbounded set on the driver.
+    // (ADVICE r12) by a require on the collected count: a forgotten
+    // batch bound fails loudly instead of a mystery OOM downstream.
+    // Deliberately checked AFTER one full-parallel collect, not via
+    // limit(cap+1): CollectLimitExec scans partitions in serialized
+    // incremental waves (1,4,16,…), and phase-2 query slices are
+    // filtered scans of the full n-row base — MEASURED at the 10M
+    // build, the limit form cost ~+3 min per ~2 min batch.
     val qvBc = spark.sparkContext.broadcast {
       val cap = MaxBroadcastQueries
-      val rows = qvecs.limit(cap + 1).as[(Long, Array[Float])].collect()
+      val rows = qvecs.as[(Long, Array[Float])].collect()
       require(rows.length <= cap,
-        s"BSP search: query slice exceeds the broadcast cap ($cap; " +
-          s"-D$MaxBroadcastQueriesProp to raise) — batch the caller " +
-          "(phase-2 batching / RepairQueryBatch slicing)")
+        s"BSP search: query slice (${rows.length} rows) exceeds the " +
+          s"broadcast cap ($cap; -D$MaxBroadcastQueriesProp to raise) — " +
+          "batch the caller (phase-2 batching / RepairQueryBatch slicing)")
       val m = new java.util.HashMap[Long, Array[Float]]()
       rows.foreach { case (id, v) => m.put(id, v) }
       m
