@@ -297,7 +297,7 @@ object DistRoarGraphBuilder {
     // peak spill is one slice's rounds, not the whole corpus's. This is
     // the knob that bounds scratch-disk per executor at fixed cluster
     // size; batched == unbatched is spec-gated (DistRoarGraphSpec).
-    // The per-node supply-pool aggregation (explode + vec join +
+    // The per-node supply-pool aggregation (explode + vec lookup +
     // groupBy(src) + occlusion prune) runs INSIDE each batch rather than
     // once over the union of all batches: a batch's query slice is a
     // disjoint set of srcs (id-hash partition), so the per-batch
@@ -310,21 +310,39 @@ object DistRoarGraphBuilder {
     // (src, ≤m nbrs) cut and its scratch freed before the next batch
     // starts. Peak scratch is one batch's pool shuffle, not the corpus's,
     // and the merge phase starts with a clean disk.
-    def supplyPools(ss: DataFrame): DataFrame = ss
-      .select(col("query_id").as("src"),
-        explode(arrays_zip(col("dists"), col("ids"))).as("h"))
-      .select(col("src"), col("h.ids").as("cand"), col("h.dists").as("d"))
-      .join(candVecs, "cand")
-      .groupBy("src")
-      // pool is bounded by lPjpq per node — sort for determinism
-      .agg(sort_array(collect_list(struct(col("d"), col("cand"), col("cvec"))))
-        .as("pool"))
-      .as[(Long, Seq[(Double, Long, Array[Float])])]
-      .map { case (src, pool) =>
-        (src, OcclusionPrune.pruneVecs(
-          pool.map(t => (t._2, t._1, t._3)).toArray, src, m, scoreMetric,
-          backfill = false))
-      }.toDF("src", "nbrs")
+    // Candidate vectors attach via a NARROW lookup against the build's
+    // shared pin, not a join against the n-row table (the round-12
+    // ids-not-payloads fix at its third site, found when round 13's
+    // slower disk turned the boundary into the dominant batch cost):
+    // the per-batch sort-merge join re-shuffled all n vector rows
+    // (~14 GB × 192 batches ≈ 2.6 TB per build); now only the skinny
+    // (cand ← src,d) triples route to the pin's layout and the one
+    // remaining vec-carrying shuffle is the inherent |slice|·l pool
+    // aggregation.
+    var p2Pin: Option[BspBeamSearch.Pinned] = None
+    def supplyPools(ss: DataFrame): DataFrame = {
+      val vp = p2Pin.get.vecs // set by batchSupply before any search runs
+      val skinny = ss
+        .select(col("query_id").as("src"),
+          explode(arrays_zip(col("dists"), col("ids"))).as("h"))
+        .select(col("h.ids").as("cand"), col("src"), col("h.dists").as("d"))
+        .as[(Long, Long, Double)].rdd
+        .map { case (cand, src, d) => (cand, (src, d)) }
+      val withVec = BspBeamSearch.lookupVec(skinny, vp)
+      spark.createDataset(
+          withVec.map { case (cand, (src, d), v) => (src, d, cand, v) })
+        .toDF("src", "d", "cand", "cvec")
+        .groupBy("src")
+        // pool is bounded by lPjpq per node — sort for determinism
+        .agg(sort_array(collect_list(struct(col("d"), col("cand"), col("cvec"))))
+          .as("pool"))
+        .as[(Long, Seq[(Double, Long, Array[Float])])]
+        .map { case (src, pool) =>
+          (src, OcclusionPrune.pruneVecs(
+            pool.map(t => (t._2, t._1, t._3)).toArray, src, m, scoreMetric,
+            backfill = false))
+        }.toDF("src", "nbrs")
+    }
     // each batch is its own durable stage (supply_b<i>_of<B>): a build
     // killed after batch i resumes at batch i+1 — at the 10M regime a
     // batch is tens of minutes, so this is the preemption granularity
@@ -333,7 +351,7 @@ object DistRoarGraphBuilder {
     // once per build, not once per batch (at 192 batches the per-batch
     // re-pin would re-shuffle ~1.6 TB of vector bytes). Lazy: a fully
     // checkpointed resume (every batch a hit) never builds it.
-    var p2Pin: Option[BspBeamSearch.Pinned] = None
+    // (p2Pin itself is declared above supplyPools, which shares it.)
     def batchSupply(queries: DataFrame, name: String): (DataFrame, () => Unit) = {
       var scopeRelease: () => Unit = () => ()
       val cutRel = durableCut(checkpointDir, name) {
