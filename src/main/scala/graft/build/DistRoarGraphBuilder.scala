@@ -576,6 +576,7 @@ object DistRoarGraphBuilder {
       // BFS is re-run per pass: pass 0 discovers the unreached set, later
       // passes VERIFY the post-trim graph (trims can in principle orphan
       // a node whose only in-path ran through the trimmed edge)
+      val tBfs0 = System.nanoTime()
       val bfsScope = new graft.ops.graph.CpScope
       val reached = bfsReached(adjCur.select("src", "nbrs"), ep, bfsScope)
       var (unreached, relUnreached) = graft.ops.graph.PlanUtil.cutDFReleasable(
@@ -583,6 +584,8 @@ object DistRoarGraphBuilder {
           .join(reached, Seq("id"), "left_anti"))
       bfsScope.releaseAll() // unreached is cut; the BFS reached-set is dead
       remaining = unreached.count()
+      println(f"[dist-build] repair pass $pass: verify-bfs " +
+        f"${(System.nanoTime() - tBfs0) / 1e9}%.1f s, unreached $remaining")
       if (remaining == 0) done = true
       else {
         val passStart = remaining
@@ -591,6 +594,7 @@ object DistRoarGraphBuilder {
         var trimmedThisPass = false
         var exhausted = false
         while (remaining > 0 && !exhausted && round < beamRoundsBound) {
+          val tRound0 = System.nanoTime()
           val ranWithTrim = allowTrim
           // nearest reached nodes per unreached query: beams start at ep
           // over the CURRENT adjacency, so every pooled candidate is
@@ -649,6 +653,8 @@ object DistRoarGraphBuilder {
           else if (!ranWithTrim) allowTrim = true // stall → next round may trim
           else exhausted = true                   // trim round also stalled
           remaining = left
+          println(f"[dist-build] repair round $round: " +
+            f"${(System.nanoTime() - tRound0) / 1e9}%.1f s, remaining $remaining")
           round += 1
         }
         // a pass that never trimmed cannot have un-reached anything, so
