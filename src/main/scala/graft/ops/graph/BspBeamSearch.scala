@@ -250,35 +250,52 @@ object BspBeamSearch {
     require(seedVecs.contains(ep), s"entry point $ep not in vectors")
     val seeds: Array[(Long, Array[Float])] =
       seedIds.flatMap(id => seedVecs.get(id).map(v => (id, v))).toArray
-    var state: Dataset[(Long, Array[Float], Array[Entry])] = qvecs
-      .as[(Long, Array[Float])]
+    // State rows are (qid, pool) ONLY — the query vector already rides
+    // the broadcast, so shipping it through every round's merge was pure
+    // payload on the skinny path (the same move-ids-not-payloads rule the
+    // round dataflow itself follows). State is pinned to its own qid
+    // partitioner once; each round's merge is then a NARROW cogroup —
+    // only the (qid, nbr, dist) candidate triples shuffle per round,
+    // not the pools (2 exchanges/round → 1). Partition count scales with
+    // the query slice (RDD stages get no AQE coalescing, so a conf-sized
+    // constant schedules empty tasks every round on small slices; ~1k
+    // pools of l entries per partition is comfortably task-sized).
+    val qPart = new org.apache.spark.HashPartitioner(
+      math.max(1, math.min(part.numPartitions, qvBc.value.size / 1024 + 1)))
+    var state: org.apache.spark.rdd.RDD[(Long, Array[Entry])] = qvecs
+      .as[(Long, Array[Float])].rdd
       .map { case (qid, qv) =>
         val pool = seeds.map { case (id, v) =>
           Entry(metric.dist(qv, v), id, expanded = false)
         }.sortBy(e => (e.dist, e.id)).take(l)
-        (qid, qv, pool)
+        (qid, pool)
       }
-    // Rolling checkpoint: round N's cut is the only live reader of round
-    // N-1's blocks, so once N materializes (cut is eager) N-1 is freed —
-    // heap holds ONE round of state, not O(rounds). The final round's
-    // release goes to `scope` (the caller frees it after consuming the
-    // returned DF) or is leaked session-lifetime when no scope is given.
-    var releasePrev: () => Unit = () => ()
-    locally {
-      val (s0, rel0) = PlanUtil.cutReleasable(state)
-      state = s0
-      releasePrev = rel0
+      .partitionBy(qPart)
+    // Rolling checkpoint: round N's state is the only live reader of round
+    // N-1's blocks, so once N materializes N-1 is freed — heap holds ONE
+    // round of state, not O(rounds). localCheckpoint (not PlanUtil.cut:
+    // re-wrapping would erase the partitioner that keeps the merge narrow)
+    // truncates lineage so an unpersisted prior round is never a
+    // recompute dependency. The final round's release goes to `scope`
+    // (the caller frees it after consuming the returned DF) or is leaked
+    // session-lifetime when no scope is given.
+    def materialize(s: org.apache.spark.rdd.RDD[(Long, Array[Entry])]): Unit = {
+      s.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      s.localCheckpoint()
+      s.count()
     }
+    materialize(state)
+    var releasePrev: () => Unit = { val s0 = state; () => s0.unpersist(blocking = false) }
 
     var round = 0
     var done = false
     while (!done && round < maxRounds) {
       // frontier: best `frontierWidth` unexpanded entries per query —
       // skinny (node, qid) id pairs routed to the pinned adjacency layout
-      val frontierRdd = state.flatMap { case (qid, _, pool) =>
+      val frontierRdd = state.flatMap { case (qid, pool) =>
         pool.iterator.filter(!_.expanded).take(frontierWidth)
           .map(e => (e.id, qid))
-      }.rdd.partitionBy(part)
+      }.partitionBy(part)
 
       // candidate gathering: narrow join with the pinned adjacency →
       // (nbr, qid) id pairs (ONE skinny shuffle) → per-partition dedup
@@ -308,36 +325,39 @@ object BspBeamSearch {
             }
           }
         }
-      val cands = spark.createDataset(scoredRdd)
 
       // per-query merge: mark this round's frontier expanded, fold in cands.
-      // Convergence is observed via an accumulator populated by the SAME job
-      // that materializes the round (eager localCheckpoint) — no second
-      // driver action per round (a `count()` here would double every
-      // round's job count). Task retries can only over-count, and the
-      // test is `== 0`, so the check stays exact.
+      // Both cogroup sides sit on qPart (state never left it; cands pay
+      // the round's ONE qid-keyed shuffle), so the merge itself is narrow.
+      // Merge order over cands is irrelevant: per-partition dedup already
+      // made (qid, nbr) globally unique (all copies co-locate under the
+      // nbr key), and pool entries take precedence by insertion order.
+      // Convergence is observed via an accumulator populated by the SAME
+      // job that materializes the round — no second driver action per
+      // round. Task retries can only over-count, and the test is `== 0`,
+      // so the check stays exact.
       val fw = frontierWidth
       val unexpandedAcc = spark.sparkContext.longAccumulator(s"bsp_unexpanded_r$round")
-      state = state
-        .groupByKey(_._1)
-        .cogroup(cands.groupByKey(_._1)) { (qid, st, cs) =>
-          st.map { case (_, qv, pool) =>
+      val candsByQ = scoredRdd
+        .map { case (qid, nbr, d) => (qid, (nbr, d)) }
+        .partitionBy(qPart)
+      val next = state.cogroup(candsByQ, qPart)
+        .flatMapValues { case (sts, cs) =>
+          sts.iterator.map { pool =>
             var budget = fw
             val marked = pool.map { e =>
               if (!e.expanded && budget > 0) { budget -= 1; e.copy(expanded = true) }
               else e
             }
-            val merged = mergePool(marked, cs.map(c => (c._2, c._3)))
+            val merged = mergePool(marked, cs.iterator)
             if (merged.exists(!_.expanded)) unexpandedAcc.add(1)
-            (qid, qv, merged)
+            merged
           }
         }
-      locally { // materialize + cut lineage AND stats, then free round N-1
-        val (sN, relN) = PlanUtil.cutReleasable(state)
-        state = sN
-        releasePrev()
-        releasePrev = relN
-      }
+      materialize(next) // then free round N-1
+      state = next
+      releasePrev()
+      releasePrev = { val sN = next; () => sN.unpersist(blocking = false) }
 
       done = unexpandedAcc.value == 0
       round += 1
@@ -352,9 +372,9 @@ object BspBeamSearch {
     qvBc.destroy()
     if (scope ne null) scope.add(releasePrev)
 
-    state.map { case (qid, _, pool) =>
+    spark.createDataset(state.map { case (qid, pool) =>
       val top = (if (excludeSelf) pool.filter(_.id != qid) else pool).take(k)
       (qid, top.map(_.id), top.map(_.dist))
-    }.toDF("query_id", "ids", "dists")
+    }).toDF("query_id", "ids", "dists")
   }
 }
