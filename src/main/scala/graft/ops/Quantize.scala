@@ -68,10 +68,7 @@ object Quantize {
     val dim = seedRows.head._2.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m
-    val sv = (0 until m).map { s =>
-      vectors.select(lit(s).as("subspace"), col("id").cast("long"),
-        slice(col("vec"), s * subDim + 1, subDim).as("vec"))
-    }.reduce(_ unionByName _).cache()
+    val sv = subspaceRows(vectors, m, subDim).cache()
 
     var cents: Map[(Int, Int), Array[Float]] = seedRows.zipWithIndex.flatMap {
       case ((_, v), c) =>
@@ -117,10 +114,7 @@ object Quantize {
   def pqEncode(vectors: DataFrame, codebooks: DataFrame, m: Int): DataFrame = {
     val dim = vectors.select(size(col("vec"))).head().getInt(0)
     val subDim = dim / m
-    val sv = (0 until m).map { s =>
-      vectors.select(lit(s).as("subspace"), col("id"),
-        slice(col("vec"), s * subDim + 1, subDim).as("vec"))
-    }.reduce(_ unionByName _)
+    val sv = subspaceRows(vectors, m, subDim)
     sv.join(broadcast(codebooks.select(col("subspace"),
         col("centroid_id"), col("vec").as("cvec"))), "subspace")
       .withColumn("cdist",
@@ -134,6 +128,22 @@ object Quantize {
         .as("cs"))
       .select(col("id"), transform(col("cs"), _("code")).as("codes"))
   }
+
+  /** (subspace, id, subvector) rows — one row per (input row, subspace).
+    * A single posexplode over the m slices, NOT an m-way union: the union
+    * compiled m near-identical whole-stage-codegen classes (one per
+    * branch, each with the slice offsets constant-folded in), and janino
+    * compile time — paid once per plan shape per session — dominated
+    * pqTrain/pqEncode wall at bench scale (measured: 7.5 s first run vs
+    * 2.2 s re-run of the identical dataflow). Row values are identical;
+    * only the physical layout changes (a row's m subspaces now share its
+    * partition instead of living in m union branches). */
+  private def subspaceRows(vectors: DataFrame, m: Int, subDim: Int): DataFrame =
+    vectors.select(col("id").cast("long"),
+        posexplode(array((0 until m).map(s =>
+          slice(col("vec"), s * subDim + 1, subDim)): _*))
+          .as(Seq("subspace", "vec")))
+      .select(col("subspace"), col("id"), col("vec"))
 
   /** Kernel encode — result-identical to [[pqEncode]] (same double-
     * accumulated per-subspace L2 as the native l2Sq expression, same
