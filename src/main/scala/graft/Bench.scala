@@ -61,9 +61,22 @@ object Bench {
     // shared across the ANN family; timing them here keeps per-query
     // walls attributable instead of landing on whichever family member
     // the map happens to iterate first)
+    // The two families are independent (disjoint memos, disjoint
+    // dataflow), so their job streams run CONCURRENTLY from two driver
+    // threads — Spark's FIFO scheduler back-fills one family's straggler
+    // tails with the other's tasks (guide §2.6); the same work is
+    // computed per run, only the idle gaps between sequential jobs
+    // overlap. Timed wall = until BOTH complete.
     val tSetup = System.nanoTime()
-    graft.queries.QueriesAnn.materializeShared(spark, sfDir)
-    graft.queries.QueriesGraph.materializeShared(spark, sfDir)
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fAnn = Future(graft.queries.QueriesAnn.materializeShared(spark, sfDir))
+      val fGraph = Future(graft.queries.QueriesGraph.materializeShared(spark, sfDir))
+      Await.result(fAnn, Duration.Inf)
+      Await.result(fGraph, Duration.Inf)
+    }
     val sharedSetupSec = (System.nanoTime() - tSetup) / 1e9
 
     // ---- per-query wall times (the t2 surface), deterministic order ----
