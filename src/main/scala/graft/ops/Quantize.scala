@@ -485,6 +485,44 @@ object Quantize {
     vectors.select(col("id"),
       array(perm.toIndexedSeq.map(p => col("vec").getItem(p)): _*).as("vec"))
 
+  /** Fused `permute(opqRotate(v, dim), perm)` — bit-identical by
+    * construction: output position i of the staged form reads rotated
+    * position perm(i), i.e. the fold over row perm(i) of the Hadamard
+    * matrix; reordering the MATRIX ROWS on the driver and running ONE
+    * MatVecRotate computes the exact same fold (same term order, same
+    * scale multiply, same float cast). The staged form's plan is the
+    * problem it replaces: Catalyst collapses the padDim-element permute
+    * projection into the rotate projection, leaving padDim copies of the
+    * MatVecRotate expression (each carrying the padDim² matrix) in one
+    * Project — every driver-side tree walk (analysis, canonicalization,
+    * subexpression elimination, AQE re-planning) then compares/hashes
+    * 65k-element matrices hundreds of times (measured: 2.1 s driver time
+    * to materialize a 256-ROW table at 256-d). Equivalence is spec-gated
+    * (SamplingQuantizeSpec). */
+  def opqRotatePermuted(vectors: DataFrame, dim: Int,
+                        perm: Array[Int]): DataFrame = {
+    val padDim = hadamardDim(dim)
+    require(perm.length == padDim,
+      s"perm has ${perm.length} entries, expected padDim=$padDim")
+    val padded =
+      if (padDim != dim)
+        vectors.select(col("id"),
+          concat(col("vec"), array_repeat(lit(0.0f), padDim - dim)).as("vec"))
+      else vectors
+    val base = hadamardMat(padDim)
+    val m = new Array[Double](padDim * padDim)
+    var i = 0
+    while (i < padDim) {
+      System.arraycopy(base, perm(i) * padDim, m, i * padDim, padDim)
+      i += 1
+    }
+    val scale = 1.0 / math.sqrt(padDim.toDouble)
+    padded.select(col("id"),
+      graft.functions.MatVecRotate.rotate(col("vec"),
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(m),
+        padDim, scale).as("vec"))
+  }
+
   /** Refine stage (the production PQ serving shape): re-rank each query's
     * ADC candidate list with exact distances over the ORIGINAL vectors and
     * keep the top k. At scale this touches `r` base rows per query —

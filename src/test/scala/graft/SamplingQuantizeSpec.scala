@@ -117,6 +117,26 @@ class SamplingQuantizeSpec extends SparkSpec {
     assert(diff == 0, s"$diff rows fail the permute round-trip")
   }
 
+  test("fused opqRotatePermuted == permute(opqRotate) bit-for-bit (64-d and padded 200-d)") {
+    val emb = Tables.vectors(spark, sf0001)
+    // 64-d (power-of-two) and 100-d (zero-padded to 128) paths
+    Seq(64 -> emb, 100 -> emb.select(col("id"),
+      slice(col("vec"), 1, 36).as("s36"), col("vec"))
+      .select(col("id"), concat(col("vec"), col("s36")).as("vec"))).foreach {
+      case (dim, v) =>
+        val pad = Quantize.hadamardDim(dim)
+        val rot = Quantize.opqRotate(v, dim)
+        val perm = Quantize.opqPermutation(rot, pad, 4)
+        val staged = Quantize.permute(rot, perm)
+          .select(col("id"), col("vec").as("v0"))
+        val fused = Quantize.opqRotatePermuted(v, dim, perm)
+          .select(col("id"), col("vec").as("v1"))
+        val diff = staged.join(fused, "id")
+          .filter(col("v0") =!= col("v1")).count()
+        assert(diff == 0, s"dim $dim: $diff rows differ between staged and fused")
+    }
+  }
+
   test("refine stage recovers exact top-k once the ADC candidate set is wide") {
     import graft.core.Metric
     import graft.ops.KnnJoin
