@@ -120,8 +120,10 @@ object QueriesVector {
   // ---- recall@k (E1): truncated-dim approx vs full-dim ground truth ------
 
   private def recallQuery(s: SparkSession, dir: String): DataFrame = {
-    val gt = KnnJoin(qSide(s, dir), bSide(s, dir), 10, Metric.L2)
-      .select(col("query_id"), transform(col("knn"), _("id")).as("ids"))
+    // session-shared exact GT (same (q, b, k, metric) join — see
+    // QueriesAnn.exactKnn; recomputing it inside each eval query's plan
+    // paid the identical join up to 8x per suite)
+    val gt = QueriesAnn.exactGt(s, dir)
     val q32 = qSide(s, dir).withColumn("vec", slice(col("vec"), 1, 32))
     val b32 = bSide(s, dir).withColumn("vec", slice(col("vec"), 1, 32))
     val approx = KnnJoin(q32, b32, 10, Metric.L2)
@@ -177,7 +179,7 @@ object QueriesVector {
       .agg(sort_array(collect_list(struct(col("rank"), col("dist")))).as("rd0"))
       .filter(size(col("rd0")) >= k)
       .select(col("query_id"), transform(col("rd0"), _("dist")).as("dists"))
-    val gt = KnnJoin(qSide(s, dir), bSide(s, dir), k, Metric.L2)
+    val gt = QueriesAnn.exactKnn(s, dir)
       .select(col("query_id"), transform(col("knn"), _("dist")).as("dists"))
     Eval.relativeDistError(res, gt, k, "l2")
       .select(round(col("mean_rderr"), 6).as("mean_rderr"))
@@ -220,11 +222,10 @@ object QueriesVector {
   private def rderrIbinQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val k = 10
-    val gt = KnnJoin(qSide(s, dir), bSide(s, dir), k, Metric.L2)
+    val gt = QueriesAnn.exactKnn(s, dir)
       .select(col("query_id"),
         transform(col("knn"), _("id").cast("int")).as("ids"),
         transform(col("knn"), _("dist").cast("float")).as("dists"))
-      .cache()
     val tmp = s"${sys.props("java.io.tmpdir")}/graft_gt_${math.abs(dir.hashCode)}.ibin"
     graft.sources.FbinCodec.writeGtWithDist(
       gt.select(col("query_id").as("id"), col("ids"), col("dists")), tmp)
@@ -240,10 +241,8 @@ object QueriesVector {
       .agg(sort_array(collect_list(struct(col("rank"), col("dist")))).as("rd0"))
       .filter(size(col("rd0")) >= k)
       .select(col("query_id"), transform(col("rd0"), _("dist")).as("dists"))
-    val out = Eval.relativeDistError(res, gtBack, k, "l2")
+    Eval.relativeDistError(res, gtBack, k, "l2")
       .select(round(col("mean_rderr"), 6).as("mean_rderr"))
-    gt.unpersist()
-    out
   }
 
   private val rderrIbinOracle = {
@@ -274,8 +273,7 @@ object QueriesVector {
   // ---- degree stats (A6) over the kNN-derived reverse graph --------------
 
   private def degreeStatsQuery(s: SparkSession, dir: String): DataFrame = {
-    val knn = KnnJoin.explodeRanks(
-      KnnJoin(qSide(s, dir), bSide(s, dir), 10, Metric.L2))
+    val knn = KnnJoin.explodeRanks(QueriesAnn.exactKnn(s, dir))
     knn.groupBy("base_id").agg(count("*").as("deg"))
       .agg(count("*").as("n_nodes"), round(avg("deg"), 6).as("avg_degree"),
         max("deg").as("max_degree"), min("deg").as("min_degree"))
