@@ -37,7 +37,11 @@ object QueriesPipeline {
     // stage 3: near-dup removal — drop the higher id of every LSH pair
     val losers = NearDup.minHashLsh(d2, JaccardThreshold)
       .select(col("id_b").as("doc_id")).distinct()
-    d2.select("doc_id").except(losers)
+    // left_anti, not EXCEPT: d2's doc_id is unique (documents keyed by
+    // doc_id, both stage joins are on unique keys), so the set semantics
+    // are identical — EXCEPT additionally paid a distinct-aggregate over
+    // both sides (one more exchange) to dedup rows that cannot repeat
+    d2.select("doc_id").join(losers, Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
   }
 
