@@ -131,9 +131,24 @@ object StreamingEvents {
   def runToMemory(agg: DataFrame, name: String,
                   mode: String = "complete"): DataFrame = {
     val spark = agg.sparkSession
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    // AvailableNow appends a no-data micro-batch after the data batches
+    // (its purpose is firing event-time timers); a complete/update-mode
+    // aggregation over a static file set emits the identical final table
+    // without it, and the empty batch costs a full state-store
+    // commit+sink cycle. Scoped to this query: restored after termination.
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try {
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
     spark.table(name)
   }
 }
