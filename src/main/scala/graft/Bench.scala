@@ -38,6 +38,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Kryo for the RDD paths (pins, BSP round state, BFS sets, blocked
+      // kNN drains) — same values, ~15% fewer shuffle bytes than Java
+      // serialization (SQL/Tungsten paths are unaffected either way).
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
