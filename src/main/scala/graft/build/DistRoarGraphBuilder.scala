@@ -510,11 +510,16 @@ object DistRoarGraphBuilder {
     // shape shuffles only the frontier ids, one exchange per hop, same as
     // the BSP round dataflow). Per-hop dedup and the reached-set subtract
     // are zipPartitions over co-partitioned sets, narrow by construction.
-    val part = new org.apache.spark.HashPartitioner(
-      spark.conf.get("spark.sql.shuffle.partitions").toInt)
-    val adjRdd = adj
+    val adjDs = adj
       .select(col("src").cast("long"), col("nbrs").cast("array<long>"))
-      .as[(Long, Array[Long])].rdd
+      .as[(Long, Array[Long])]
+    // size-derived partition count (capped at the conf), same rationale
+    // as BspBeamSearch.pinVectors: RDD stages get no AQE coalescing
+    val nNodes = adjDs.count()
+    val confParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val part = new org.apache.spark.HashPartitioner(
+      math.max(1L, math.min(confParts.toLong, nNodes / 100000 + 1)).toInt)
+    val adjRdd = adjDs.rdd
       .partitionBy(part)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 

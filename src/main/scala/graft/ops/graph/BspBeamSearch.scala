@@ -67,15 +67,29 @@ object BspBeamSearch {
     def release(): Unit = rdd.unpersist(blocking = false)
   }
 
-  /** Pin a vector table for reuse (see [[PinnedVecs]]); eager. */
+  /** Rows per pinned partition: enough that a partition's hash-map build
+    * and scoring sweep dominate its task overhead, small enough that the
+    * conf cap engages long before memory pressure (100k × 200d floats ≈
+    * 80 MB per partition). */
+  private val PinRowsPerPartition = 100000L
+
+  /** Pin a vector table for reuse (see [[PinnedVecs]]); eager. Partition
+    * count is derived from the TABLE SIZE (one extra count job), capped at
+    * the session's shuffle-partition conf — a conf-sized constant
+    * scheduled conf empty tasks per round on small graphs (RDD stages get
+    * no AQE coalescing), while the cap keeps cluster-scale pins at the
+    * configured parallelism. */
   def pinVectors(vectors: DataFrame): PinnedVecs = {
     val spark = vectors.sparkSession
     import spark.implicits._
+    val ds = vectors.select(col("id").cast("long"), col("vec"))
+      .as[(Long, Array[Float])]
+    val rows = ds.count()
+    val confParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val part = new org.apache.spark.HashPartitioner(
-      spark.conf.get("spark.sql.shuffle.partitions").toInt)
-    val vecRdd = vectors
-      .select(col("id").cast("long"), col("vec"))
-      .as[(Long, Array[Float])].rdd
+      math.max(1, math.min(confParts.toLong,
+        (rows + PinRowsPerPartition - 1) / PinRowsPerPartition)).toInt)
+    val vecRdd = ds.rdd
       .partitionBy(part)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     vecRdd.count()
