@@ -48,10 +48,18 @@ object VectorFunctions {
 
   /** L2-normalize; zero vectors pass through unchanged (reference divides
     * unconditionally — util.h:214-225 — but its data is never zero; we guard
-    * to keep the column total). */
+    * to keep the column total).
+    *
+    * The norm is hoisted OUT of the per-element lambda via `array_repeat`:
+    * a lambda body referencing the O(dim) norm re-evaluates it per element
+    * (CSE does not cross lambda boundaries), making the old
+    * `transform(v, _ / n)` form O(dim²) per row. `array_repeat(n, dim)`
+    * evaluates n once per row, then the zip divides element-wise —
+    * bit-identical values (same x / n per position), O(dim) per row. */
   def l2Normalize(a: Column): Column = {
     val n = l2Norm(a)
-    when(n === 0.0, toDouble(a)).otherwise(transform(toDouble(a), _ / n))
+    when(n === 0.0, toDouble(a))
+      .otherwise(zip_with(toDouble(a), array_repeat(n, size(a)), (x, nn) => x / nn))
   }
 
   /** Cosine distance in the reference's convention: negated cosine
