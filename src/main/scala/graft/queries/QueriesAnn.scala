@@ -247,13 +247,15 @@ object QueriesAnn {
   private val PqTrainCap = 2048
 
   /** Deterministic bounded training set: the PqTrainCap smallest ids,
-    * materialized and re-spread — a bare orderBy+limit would feed the
-    * whole trainer from ONE partition (GlobalLimit coalesces), serializing
-    * every k-means job. */
+    * materialized once (GlobalLimit leaves it in one partition — fine:
+    * the cap bounds the trainer's per-iteration work to ~PqTrainCap × PqK
+    * × subDim ≈ 34M fused multiply-adds in codegen'd l2Sq, ~30 ms in one
+    * task at ANY corpus scale, far below the per-task scheduling overhead
+    * a conf-wide `repartition(col("id"))` spread added: 32 near-empty
+    * tasks per k-means stage at bench scale, measured ~1 s/chain). */
   private def pqTrainSet(s: SparkSession, dir: String): DataFrame =
     graft.ops.graph.PlanUtil.cutDF(
       bSide(s, dir).orderBy("id").limit(PqTrainCap))
-      .repartition(col("id"))
 
   /** Refine-stage candidate budget: the ADC byte-domain scan keeps 4k
     * candidates per query; the exact re-rank over ORIGINAL vectors keeps
@@ -274,7 +276,11 @@ object QueriesAnn {
   private def pqArtifacts(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
     pqMemo.getOrElseUpdate(s, dir) {
       import graft.ops.Quantize
-      val rotTrain = Quantize.opqRotate(pqTrainSet(s, dir), PqDim)
+      // ONE train-set cut shared by the permutation derivation and the
+      // rotated trainer (two pqTrainSet calls = two localCheckpoint
+      // materializations of the identical table)
+      val train = pqTrainSet(s, dir)
+      val rotTrain = Quantize.opqRotate(train, PqDim)
       val perm = Quantize.opqPermutation(rotTrain, PqDim, PqM)
       // cache the rotated+permuted tables (pqTrain/pqEncode re-scan them);
       // rotate+permute fused into one row-permuted MatVecRotate —
@@ -282,7 +288,7 @@ object QueriesAnn {
       // dim copies of the matrix expression (see opqRotatePermuted doc)
       val bP = Quantize.opqRotatePermuted(bSide(s, dir), PqDim, perm).cache()
       val qP = Quantize.opqRotatePermuted(qSide(s, dir), PqDim, perm).cache()
-      val trainP = Quantize.opqRotatePermuted(pqTrainSet(s, dir), PqDim, perm)
+      val trainP = Quantize.opqRotatePermuted(train, PqDim, perm)
         .cache()
       // materialize the cached rotations EAGERLY: pqTrain/pqEncode scan
       // them through an m-way subspace union, and racing tasks over a
@@ -512,8 +518,10 @@ object QueriesAnn {
   private def pq200CodesQuery(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Quantize
     val b200 = vec200(bSide(s, dir))
+    // one partition by construction (GlobalLimit) — see pqTrainSet: the
+    // cap bounds trainer work below task-scheduling cost of a spread
     val train = graft.ops.graph.PlanUtil.cutDF(
-      b200.orderBy("id").limit(Pq200TrainCap)).repartition(col("id"))
+      b200.orderBy("id").limit(Pq200TrainCap))
     val rotTrain = Quantize.opqRotate(train, Pq200SrcDim)
     val perm = Quantize.opqPermutation(rotTrain, Pq200Pad, Pq200M)
     val trainP = Quantize.opqRotatePermuted(train, Pq200SrcDim, perm).cache()

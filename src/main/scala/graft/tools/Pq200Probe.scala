@@ -32,7 +32,7 @@ object Pq200Probe {
       val b200 = vec200(bSide)
       val train = lap(s"$i trainSet cut") {
         graft.ops.graph.PlanUtil.cutDF(
-          b200.orderBy("id").limit(256)).repartition(col("id"))
+          b200.orderBy("id").limit(256))
       }
       val rotTrain = Quantize.opqRotate(train, 200)
       val perm = lap(s"$i opqPermutation") {

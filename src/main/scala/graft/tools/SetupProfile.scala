@@ -78,7 +78,7 @@ object SetupProfile {
     val PqDim = 64; val PqM = 16; val PqK = 256; val PqTrainCap = 2048
     val train = lap("pq: trainSet cut") {
       graft.ops.graph.PlanUtil.cutDF(
-        bSide.orderBy("id").limit(PqTrainCap)).repartition(col("id"))
+        bSide.orderBy("id").limit(PqTrainCap))
     }
     val rotTrain = Quantize.opqRotate(train, PqDim)
     val perm = lap("pq: opqPermutation") {
