@@ -195,14 +195,22 @@ object QueriesGraph {
     // the in-memory index memo too: it is consumed by three queries
     // (roargraph_build_stats/search_recall and QueriesAnn's PQ-beam), and
     // whichever ran first paid its build wall (measured ~1.9 s of
-    // ann_pq_beam_topk's bench time was this build)
-    memIndex(s, dir)
+    // ann_pq_beam_topk's bench time was this build).
+    // The two builds are independent (separate memo instances, disjoint
+    // outputs) — overlap them (guide §2.6): the in-memory builder is
+    // driver-CPU-heavy, so it back-fills the dist build's job-latency
+    // gaps instead of serializing ~1.4 s in front of them.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fMem = Future(memIndex(s, dir))
     val dist = distMemo.getOrElseUpdate(s, dir) {
       val di = graft.build.DistRoarGraphBuilder.build(
         bSide(s, dir), qSide(s, dir), buildParams, frontierWidth = 16)
       di.copy(adj = di.adj.cache())
     }
     dist.adj.count()
+    Await.result(fMem, Duration.Inf)
     ()
   }
 
