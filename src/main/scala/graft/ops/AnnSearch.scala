@@ -264,18 +264,30 @@ object AnnSearch {
     * probes the `nprobe` nearest centroids' lists. Output
     * (query_id, rank, base_id, dist). */
   def ivfTopK(queries: DataFrame, base: DataFrame, centroids: DataFrame,
-              k: Int, nprobe: Int, metric: Metric): DataFrame = {
+              k: Int, nprobe: Int, metric: Metric): DataFrame =
+    ivfTopKOnLists(queries,
+      invertedLists(base, centroids), centroids, k, nprobe, metric)
+
+  /** The inverted-lists table [[ivfTopK]] scans: each base row tagged with
+    * its nearest centroid (shuffle-free literal-fold argmin). Exposed so a
+    * suite computing several IVF-family queries over the SAME (base,
+    * centroids) pair can build the assignment once and share it. */
+  def invertedLists(base: DataFrame, centroids: DataFrame): DataFrame =
+    assignLocal(base.select(col("id"), col("vec")), collectCentroids(centroids))
+      .select(col("centroid_id"), col("id").as("base_id"), col("vec").as("bvec"))
+
+  /** [[ivfTopK]] over a pre-built (possibly cached) [[invertedLists]]
+    * table — plan-identical scoring, same output. */
+  def ivfTopKOnLists(queries: DataFrame, lists: DataFrame,
+                     centroids: DataFrame, k: Int, nprobe: Int,
+                     metric: Metric): DataFrame = {
     val metricName = metric match {
       case Metric.L2 => "l2"; case Metric.InnerProduct => "ip"
       case Metric.Cosine => "cosine"
     }
-    val cents = collectCentroids(centroids)
-    // inverted lists: shuffle-free argmin assignment
-    val lists = assignLocal(base.select(col("id"), col("vec")), cents)
-      .select(col("centroid_id"), col("id").as("base_id"), col("vec").as("bvec"))
     // query → nprobe nearest centroids: sort the literal centroid scores in
     // one projection (no join, no window), take the first nprobe
-    val probes = probesLocal(queries, cents, nprobe)
+    val probes = probesLocal(queries, collectCentroids(centroids), nprobe)
     // search only the probed lists; bounded per-query top-k
     val scored = probes.join(lists, "centroid_id")
       .withColumn("dist",

@@ -120,9 +120,22 @@ object QueriesAnn {
 
   // ---- IVF top-k ----------------------------------------------------------
 
+  /** The (base row → nearest fixed centroid) inverted-lists table, built
+    * once per (session, sfDir) and cached: ann_ivf_topk scans it and
+    * ann_ivfpq_topk derives its coarse list assignment from the same
+    * table — each previously re-ran the identical literal-fold argmin
+    * over the full base inside its own plan. */
+  private val ivfListsMemo = new SessionMemo[DataFrame]
+  private def ivfLists(s: SparkSession, dir: String): DataFrame =
+    ivfListsMemo.getOrElseUpdate(s, dir) {
+      val df = AnnSearch.invertedLists(bSide(s, dir), centroids(s, dir)).cache()
+      df.count()
+      df
+    }
+
   private def ivfTopKQuery(s: SparkSession, dir: String): DataFrame =
-    AnnSearch.ivfTopK(qSide(s, dir), bSide(s, dir), centroids(s, dir),
-      K, NProbe, Metric.L2)
+    AnnSearch.ivfTopKOnLists(qSide(s, dir), ivfLists(s, dir),
+      centroids(s, dir), K, NProbe, Metric.L2)
       .select(col("query_id"), col("rank"), col("base_id"),
         round(col("dist"), 6).as("dist"))
       .orderBy("query_id", "rank")
@@ -596,9 +609,11 @@ object QueriesAnn {
     import graft.ops.Quantize
     val (cb, codes, qP) = pqArtifacts(s, dir)
     val cents = centroids(s, dir)
-    val assignedCodes = AnnSearch.assignToCentroids(
-        bSide(s, dir).select(col("id"), col("vec")), cents)
-      .select(col("centroid_id"), col("id"))
+    // coarse assignment read from the shared inverted-lists memo (same
+    // deterministic table ann_ivf_topk scans) instead of re-running the
+    // full-base argmin inside this plan
+    val assignedCodes = ivfLists(s, dir)
+      .select(col("centroid_id"), col("base_id").as("id"))
       .join(codes, "id")
     val probes = AnnSearch.probeCentroids(qSide(s, dir), cents, NProbe)
     val cand = Quantize.ivfAdcTopK(probes, qP, assignedCodes, cb, IvfPqRefine)
@@ -650,6 +665,7 @@ object QueriesAnn {
     val (cb, codes, qP) = pqArtifacts(s, dir)
     cb.count(); codes.count(); qP.count()
     exactGt(s, dir)
+    ivfLists(s, dir)
     ()
   }
 
