@@ -304,13 +304,23 @@ object QueriesAnn {
       val trainP = Quantize.opqRotatePermuted(train, PqDim, perm)
         .cache()
       // materialize the cached rotations EAGERLY: pqTrain/pqEncode scan
-      // them through an m-way subspace union, and racing tasks over a
+      // them through the subspace posexplode, and racing tasks over a
       // lazily-cached table each re-evaluate the Hadamard fold (the
-      // chain's dominant expression) instead of reading the cache
-      trainP.count(); bP.count()
-      val cb = Quantize.pqTrain(trainP, PqM, PqK, PqIters).cache()
-      val codes = Quantize.pqEncode(bP, cb, PqM).cache()
-      (cb, codes, qP)
+      // chain's dominant expression) instead of reading the cache.
+      // bP's materialization is independent of the trainer (pqTrain reads
+      // trainP only), so it runs concurrently and back-fills the
+      // trainer's collect-job gaps (guide §2.6)
+      trainP.count()
+      locally {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val fB = Future(bP.count())
+        val cb = Quantize.pqTrain(trainP, PqM, PqK, PqIters).cache()
+        Await.result(fB, Duration.Inf)
+        val codes = Quantize.pqEncode(bP, cb, PqM).cache()
+        (cb, codes, qP)
+      }
     }
 
   /** Recall of OPQ-rotated PQ search WITH the refine stage vs exact kNN —
@@ -540,8 +550,14 @@ object QueriesAnn {
     val trainP = Quantize.opqRotatePermuted(train, Pq200SrcDim, perm).cache()
     trainP.count() // materialize before the per-subspace re-scans
     val bP = Quantize.opqRotatePermuted(b200, Pq200SrcDim, perm).cache()
-    bP.count()
+    // the base-corpus rotation is independent of the trainer (pqTrain
+    // reads trainP only) — materialize it concurrently (guide §2.6)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fB = Future(bP.count())
     val cb = Quantize.pqTrain(trainP, Pq200M, Pq200K, iters = 1)
+    Await.result(fB, Duration.Inf)
     // Scalar k0..k7 columns rather than codes: array<int> — the driver's
     // oracle comparator sorts result columns with pandas before hashing,
     // and an array-typed column is unsortable there (r6 red row).
