@@ -173,7 +173,12 @@ object Bench {
       .collect().head.getAs[Double]("recall_at_k")
     shRes.unpersist()
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal query seconds (ms resolution — far below this box's noise
+    // floor): the un-rounded 9-decimal values made the one-line JSON ~6 KB,
+    // which overflowed the driver's ~4 KB stdout-tail window and left every
+    // round's BENCH parse null (VERDICT r13 "What's wrong" #1)
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val sweepJson = sweep.map { case (l, qps, rec, lat, cmps, hops) =>
       f"""{"l_pq":$l,"qps":$qps%.1f,"recall_at_10":$rec%.4f,"mean_latency_ms":$lat%.3f,"avg_cmps":$cmps%.1f,"avg_hops":$hops%.1f}"""
@@ -187,12 +192,23 @@ object Bench {
       f"""{"bsp_search":{"search_sec":$bspSec%.3f,"recall_at_10":$bspRecall%.4f,"layout":"bucketed","bucket_save_sec":$saveSec%.3f},""" +
         f""""sharded_3":{"build_sec":$shBuildSec%.3f,"search_sec":$shSearchSec%.3f,"recall_at_10":$shRecall%.4f}}"""
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
       s""""failed_queries":$failedJson,""" +
       f""""shared_setup_sec":$sharedSetupSec%.3f,""" +
-      s""""roargraph":{"n_base":${index.n},"build_sec":$buildSec,"search_sweep":$sweepJson,"scale_variants":$variants},""" +
+      f""""roargraph":{"n_base":${index.n},"build_sec":$buildSec%.3f,"search_sweep":$sweepJson,"scale_variants":$variants},""" +
       s""""sf":"$sfDir"}"""
     println(json)
+    // compact totals line printed LAST (VERDICT r13 next-round #1): the
+    // full line above is ~4 KB with the sweep and the driver's stdout-tail
+    // window is ~4 KB, so the driver's parse saw a head-truncated line and
+    // returned null every round. This line repeats the contract fields
+    // (metric/value/unit/queries/sf — same numbers, same rounding) without
+    // the roargraph block (~1.9 KB), so the final stdout bytes always hold
+    // one complete JSON object. The sweep still lives in the full line and
+    // in the $SPARK_GRAFT_BENCH_OUT file.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+      s""""failed_queries":$failedJson,""" +
+      f""""shared_setup_sec":$sharedSetupSec%.3f,"sf":"$sfDir"}""")
     // also write the object to a file: stdout buffering truncated a round
     // artifact once (BENCH_r04 lost the per-query map's head), and a file
     // is whole-or-absent regardless of how the driver captures stdout

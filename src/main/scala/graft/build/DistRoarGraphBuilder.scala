@@ -517,8 +517,11 @@ object DistRoarGraphBuilder {
     // as BspBeamSearch.pinVectors: RDD stages get no AQE coalescing
     val nNodes = adjDs.count()
     val confParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // shared size rule (BspBeamSearch.sizedPartitions, ADVICE r13): the
+    // previous inline nNodes/100000+1 was a floor+1 that drifted from the
+    // pin's ceiling division at exact multiples
     val part = new org.apache.spark.HashPartitioner(
-      math.max(1L, math.min(confParts.toLong, nNodes / 100000 + 1)).toInt)
+      graft.ops.graph.BspBeamSearch.sizedPartitions(nNodes, confParts))
     val adjRdd = adjDs.rdd
       .partitionBy(part)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

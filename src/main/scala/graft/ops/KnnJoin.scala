@@ -194,10 +194,16 @@ object KnnJoin {
         spark.read.parquet(cpPath.get)
       } else {
         val bc = spark.sparkContext.broadcast(blk)
-        val (cutPartial, releasePartial) =
-          graft.ops.graph.PlanUtil.cutDFReleasable(partial(bc))
-        bc.destroy()
-        val mergedPlan = cutPartial.groupBy("query_id")
+        // ONE materialization per block (guide §1.2): partials stream
+        // straight into the merge exchange. The previous shape checkpointed
+        // the partials first (an extra job per block and a full extra copy
+        // of the block's largest transient) solely so the broadcast could
+        // be destroyed before the merge ran; destroying it after the fused
+        // materialization is just as early in the block lifecycle — the
+        // merge IS the block's materialization. Memory shrinks too: the
+        // partitions×k-per-query partial rows now live only inside the
+        // exchange, never as pinned checkpoint blocks.
+        val mergedPlan = partial(bc).groupBy("query_id")
           .agg(slice(sort_array(flatten(collect_list(col("partial")))), 1, k)
             .as("knn0"))
         val merged = cpPath match {
@@ -207,7 +213,7 @@ object KnnJoin {
             spark.read.parquet(p)
           case None => graft.ops.graph.PlanUtil.cutDF(mergedPlan)
         }
-        releasePartial() // merged is cut; this block's partials are dead
+        bc.destroy() // merged is materialized; every task that read bc ran
         merged
       }
     }.toList
@@ -348,6 +354,10 @@ object KnnJoin {
     * array (never a silently missing row — a dropped row would silently
     * lose the query's phase-1 edges downstream and overstate
     * inner-join agreement metrics). */
+  /** Base size below which [[ivfApprox]]'s routed table is NOT
+    * checkpointed (see the size-derived rationale at its use site). */
+  private val SingleScanMaxRows = 1000000L
+
   def ivfApprox(queries: DataFrame, base: DataFrame, k: Int, metric: Metric,
                 nlist: Int = 1024, nprobe: Int = 64, kmIters: Int = 4,
                 trainCap: Int = 65536,
@@ -380,6 +390,10 @@ object KnnJoin {
         s"trainCap=$trainCap,metric=$metric,kernel=${graft.core.CpIO.KernelVersion}")(spark))
     def hasCp(name: String): Boolean = checkpointDir.exists(d =>
       graft.core.CpIO.exists(s"$d/$name/_SUCCESS")(spark))
+    // base row count: sizes the trainer sample AND the size-derived drain
+    // shape below (routed-cut skip, coverage skip); -1 = unknown (resumed
+    // from persisted centroids, where the durable path is taken anyway)
+    var nBaseRows = -1L
     val cents: Array[(Int, Array[Float])] =
       if (hasCp("centroids"))
         spark.read.parquet(s"${checkpointDir.get}/centroids")
@@ -387,6 +401,7 @@ object KnnJoin {
           .as[(Int, Array[Float])].collect().sortBy(_._1)
       else {
         val nRows = base.count()
+        nBaseRows = nRows
         val step = math.max(1L, nRows / trainCap)
         val sample =
           if (step == 1L) base.select(col("id").cast("long"), col("vec"))
@@ -436,7 +451,16 @@ object KnnJoin {
         graft.ops.graph.PlanUtil.cutReleasable(
           spark.read.parquet(s"$d/routed").as[(Long, Array[Float], Int)])
       case None =>
-        graft.ops.graph.PlanUtil.cutReleasable(
+        // size-derived (the item-10 rule): below SingleScanMaxRows the
+        // drain is a single query block (queryBlockRows defaults to 100k
+        // and the routed recompute is one cheap kernel pass even if not),
+        // so materializing the routed table buys nothing and costs a
+        // checkpoint job + a pinned copy. Above it — or whenever the
+        // durable path is in play — the per-block re-scan cost is real and
+        // the cut stays.
+        if (nBaseRows >= 0 && nBaseRows <= SingleScanMaxRows)
+          (routedPlan.as[(Long, Array[Float], Int)], () => ())
+        else graft.ops.graph.PlanUtil.cutReleasable(
           routedPlan.as[(Long, Array[Float], Int)])
     }
 
@@ -542,7 +566,13 @@ object KnnJoin {
     }
     releaseRouted() // blockedTopK returns materialized; the routing is dead
     centsBc.destroy() // the drain is complete; the centroid grid is dead
-    ensureQueryCoverage(queries, out)
+    // full probe scores every (query, base) pair, so with a known non-empty
+    // base every drained query already has a non-empty heap — the coverage
+    // re-attach join is an identity; skip its exchange. Partial probing
+    // (or an unknown row count on resume) keeps it: a query whose probed
+    // lists are all empty must still emit an empty-knn row.
+    if (nprobe == nlist && nBaseRows > 0) out
+    else ensureQueryCoverage(queries, out)
   }
 
   /** Re-attach queries missing from a kNN result as rows with an EMPTY

@@ -42,6 +42,32 @@ object Quantize {
     zip_with(codes, zip_with(lo, hi, (l, h) => struct(l.as("l"), h.as("h"))),
       (c, b) => b("l") + (c.cast("double") / 255.0) * (b("h") - b("l")))
 
+  /** Fused encode→decode round trip: the quantization error surface
+    * (id, vec: array<float> of decoded values) in ONE pass over the
+    * exploded vectors. Float-identical to
+    * `sq8Decode(sq8Encode(v, bounds)) cast float` — per element the same
+    * op chain (round(255·(x−lo)/(hi−lo)) cast int, then
+    * lo + (code/255)·(hi−lo), cast float; constant dims → lo) — but the
+    * staged form paid a groupBy-exchange to assemble the codes array, a
+    * one-row bounds collect + crossJoin broadcast, and a zip_with decode
+    * only to re-explode conceptually per element. Guide §1.2
+    * (don't-recompute / fewer passes): one explode, one broadcast join,
+    * one assembly aggregate. */
+  def sq8EncodeDecode(vectors: DataFrame, bounds: DataFrame): DataFrame = {
+    val ex = vectors.select(col("id"), posexplode(col("vec")).as(Seq("pos", "x")))
+    ex.join(broadcast(bounds), "pos")
+      .select(col("id"), col("pos"),
+        when(col("hi") > col("lo"),
+          col("lo") + (round(lit(255.0) * (col("x").cast("double") - col("lo"))
+            / (col("hi") - col("lo"))).cast("int").cast("double") / 255.0)
+            * (col("hi") - col("lo")))
+          .otherwise(col("lo")).as("dx"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("dx")))).as("ds"))
+      .select(col("id"),
+        transform(col("ds"), d => d("dx").cast("float")).as("vec"))
+  }
+
   // ---- Product quantization (PQ) -----------------------------------------
   // The reference declares a PQ metric but never implements it
   // (include/efanna2e/distance.h:15, vestigial); completed here from the

@@ -71,7 +71,15 @@ object BspBeamSearch {
     * and scoring sweep dominate its task overhead, small enough that the
     * conf cap engages long before memory pressure (100k × 200d floats ≈
     * 80 MB per partition). */
-  private val PinRowsPerPartition = 100000L
+  private[graft] val PinRowsPerPartition = 100000L
+
+  /** Size-derived partition count: ceil(rows / [[PinRowsPerPartition]])
+    * capped at the session's shuffle-partition conf (min 1) — shared by
+    * every size-derived RDD partitioner (pinVectors, the dist builder's
+    * BFS pin) so the two cannot drift (ADVICE r13). */
+  private[graft] def sizedPartitions(rows: Long, confParts: Int): Int =
+    math.max(1L, math.min(confParts.toLong,
+      (rows + PinRowsPerPartition - 1) / PinRowsPerPartition)).toInt
 
   /** Pin a vector table for reuse (see [[PinnedVecs]]); eager. Partition
     * count is derived from the TABLE SIZE (one extra count job), capped at
@@ -87,8 +95,7 @@ object BspBeamSearch {
     val rows = ds.count()
     val confParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val part = new org.apache.spark.HashPartitioner(
-      math.max(1, math.min(confParts.toLong,
-        (rows + PinRowsPerPartition - 1) / PinRowsPerPartition)).toInt)
+      sizedPartitions(rows, confParts))
     val vecRdd = ds.rdd
       .partitionBy(part)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

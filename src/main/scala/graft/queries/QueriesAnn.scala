@@ -199,18 +199,14 @@ object QueriesAnn {
 
   private def sq8RecallQuery(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Quantize
+    // fused encode→decode (Quantize.sq8EncodeDecode): the staged
+    // bounds-collect → encode (groupBy) → crossJoin-decode chain re-scanned
+    // base three times and paid 13 jobs for what is two passes (bounds agg
+    // + one explode/join/assemble) — guide §1.2. Float-identical per
+    // element (same op chain, see sq8EncodeDecode's doc); tri-SF
+    // oracle-gated.
     val b = bSide(s, dir)
-    val bounds = Quantize.sq8Bounds(b).cache()
-    val loHi = bounds
-      .agg(sort_array(collect_list(struct(col("pos"), col("lo"), col("hi"))))
-        .as("b"))
-      .select(transform(col("b"), _("lo")).as("lo"),
-        transform(col("b"), _("hi")).as("hi"))
-    val codes = Quantize.sq8Encode(b, bounds)
-    val decoded = codes.crossJoin(broadcast(loHi))
-      .select(col("id"),
-        transform(Quantize.sq8Decode(col("codes"), col("lo"), col("hi")),
-          _.cast("float")).as("vec"))
+    val decoded = Quantize.sq8EncodeDecode(b, Quantize.sq8Bounds(b))
     val approx = KnnJoin(qSide(s, dir), decoded, K, Metric.L2)
       .select(col("query_id"), transform(col("knn"), _("id")).as("ids"))
     Eval.recallAtK(approx, exactGt(s, dir), K)
@@ -316,7 +312,12 @@ object QueriesAnn {
         import scala.concurrent.ExecutionContext.Implicits.global
         import scala.concurrent.duration.Duration
         val fB = Future(bP.count())
-        val cb = Quantize.pqTrain(trainP, PqM, PqK, PqIters).cache()
+        // always await the concurrent count, even when the trainer throws
+        // (ADVICE r13): an orphaned running job would keep the session
+        // busy and its own failure would be swallowed
+        val cb =
+          try Quantize.pqTrain(trainP, PqM, PqK, PqIters).cache()
+          finally Await.ready(fB, Duration.Inf)
         Await.result(fB, Duration.Inf)
         val codes = Quantize.pqEncode(bP, cb, PqM).cache()
         (cb, codes, qP)
@@ -556,7 +557,10 @@ object QueriesAnn {
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
     val fB = Future(bP.count())
-    val cb = Quantize.pqTrain(trainP, Pq200M, Pq200K, iters = 1)
+    // await even on trainer failure (ADVICE r13) — see pqArtifacts
+    val cb =
+      try Quantize.pqTrain(trainP, Pq200M, Pq200K, iters = 1)
+      finally Await.ready(fB, Duration.Inf)
     Await.result(fB, Duration.Inf)
     // Scalar k0..k7 columns rather than codes: array<int> — the driver's
     // oracle comparator sorts result columns with pandas before hashing,

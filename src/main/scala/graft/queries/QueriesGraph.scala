@@ -92,7 +92,23 @@ object QueriesGraph {
     // graph to be connected (the reference trains on 10M queries for 10M
     // base, prepare_data.sh:27) — use the whole collection as the sample
     val train = emb(s, dir)
-    val knnTrain = KnnJoin(train, bSide(s, dir), 10, Metric.L2)
+    val b = bSide(s, dir)
+    // work-derived base spread (guide §2.6 idle capacity): this train-side
+    // kNN scores |corpus|×|base| pairs inside KnnJoin's per-base-partition
+    // heap kernel, and the sf-scale parquet scan is ONE partition — the
+    // whole sweep ran as a single task while 31 cores idled. Target ~800k
+    // scored pairs per task (≈50M mul-adds at 64-d — well above task
+    // overhead), capped at the conf: at corpus scale the scan already has
+    // ≥ conf partitions and the spread is a no-op. Result-identical: the
+    // partial/final top-k merge is partition-count-independent (exact
+    // distances, (dist, id) ties).
+    val pairsPerTask = 800000L
+    val workParts = math.max(1L, math.min(
+      s.conf.get("spark.sql.shuffle.partitions").toLong,
+      train.count() * b.count() / pairsPerTask)).toInt
+    val bSpread =
+      if (b.rdd.getNumPartitions < workParts) b.repartition(workParts) else b
+    val knnTrain = KnnJoin(train, bSpread, 10, Metric.L2)
       .select(col("query_id"), transform(col("knn"), _("id")).as("knn"))
     val adj = BipartiteBuilder.build(knnTrain, Nd, M)
     val twoHop = BipartiteBuilder.projectTwoHop(adj, Nd)

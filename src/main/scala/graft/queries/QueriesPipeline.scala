@@ -28,20 +28,35 @@ object QueriesPipeline {
     // stage 1: exact dedup keepers
     val keepers = Dedup.dedupIds(docs)
     val d1 = docs.join(keepers, "doc_id")
-    // stage 2: quality filter
-    val q = TextOps.qualityStats(d1)
-      .filter(col("n_tokens") >= MinTokens &&
-        col("stopword_ratio") <= MaxStopwordRatio)
-      .select("doc_id")
-    val d2 = d1.join(q, "doc_id")
+    // stage 2 FUSED into a row-local filter over d1 (guide §1.2/§2.4): the
+    // previous shape aggregated qualityStats(d1) into a doc_id list and
+    // joined it back onto d1 — re-evaluating the whole d1 subtree a second
+    // time and paying an extra join exchange for a predicate that only
+    // reads the row's own tokens. Same predicate expressions as
+    // TextOps.qualityStats (n_tokens >= MinTokens, stopword_ratio <=
+    // MaxStopwordRatio over split(text, ' ')); doc_id unique on both
+    // shapes, so row set and multiplicity are identical (tri-SF
+    // oracle-gated).
+    val toks = col("_toks")
+    val stop = array(TextOps.Stopwords.map(lit): _*)
+    val d2 = d1.select(col("doc_id"), col("text"),
+        TextOps.tokens(col("text")).as("_toks"))
+      .filter(size(toks) >= MinTokens &&
+        (size(filter(toks, x => array_contains(stop, x))).cast("double")
+          / size(toks)) <= MaxStopwordRatio)
+      .select("doc_id", "text")
+    // survivors materialized ONCE: the LSH stage (which re-reads its input
+    // for signatures) and the final anti-join both consume this set — the
+    // previous shape recomputed the d1→d2 chain for each consumer
+    val d2c = graft.ops.graph.PlanUtil.cutDF(d2)
     // stage 3: near-dup removal — drop the higher id of every LSH pair
-    val losers = NearDup.minHashLsh(d2, JaccardThreshold)
+    val losers = NearDup.minHashLsh(d2c, JaccardThreshold)
       .select(col("id_b").as("doc_id")).distinct()
     // left_anti, not EXCEPT: d2's doc_id is unique (documents keyed by
     // doc_id, both stage joins are on unique keys), so the set semantics
     // are identical — EXCEPT additionally paid a distinct-aggregate over
     // both sides (one more exchange) to dedup rows that cannot repeat
-    d2.select("doc_id").join(losers, Seq("doc_id"), "left_anti")
+    d2c.select("doc_id").join(losers, Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
   }
 

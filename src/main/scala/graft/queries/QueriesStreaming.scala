@@ -17,7 +17,19 @@ object QueriesStreaming {
   private def streamingHourly(s: SparkSession, dir: String): DataFrame = {
     val stream = StreamingEvents.readEvents(s, s"$dir/events.parquet")
     val name = s"graft_streaming_hourly_${runId.incrementAndGet()}"
-    StreamingEvents.runToMemory(StreamingEvents.hourlyRollup(stream), name)
+    // size-derived state partition count capped at the session conf
+    // (VERDICT r13 next-round #5): the state-store partition count of a
+    // fresh streaming query is the shuffle-partition conf, and every
+    // micro-batch pays one HDFS-state-store commit per partition — at
+    // bench scale that was conf-many (32) near-empty store commits for a
+    // bounded hours×event_types group count. ceil(rows/100k) keeps the
+    // rule scale-adaptive (the conf cap engages at corpus scale); the
+    // parquet row count is footer metadata, not a scan.
+    val rows = s.read.parquet(s"$dir/events.parquet").count()
+    val conf = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = math.max(1L, math.min(conf.toLong, (rows + 99999) / 100000)).toInt
+    StreamingEvents.runToMemory(StreamingEvents.hourlyRollup(stream), name,
+        statePartitions = Some(parts))
       .orderBy("hour_ms", "event_type")
   }
 

@@ -16,7 +16,20 @@ import org.apache.spark.sql.SparkSession
   * process-wide registry, each session gets one applicationEnd listener
   * hooked on first use, and that listener purges stopped sessions from ALL
   * registered memo instances — a stopped session's cached plans are
-  * released when it ends, not on some later access that may never come. */
+  * released when it ends, not on some later access that may never come.
+  *
+  * LOCK-ORDERING INVARIANT (ADVICE r13): `getOrElseUpdate` runs the
+  * factory `mk` while HOLDING this memo's instance lock, and the bench
+  * materializes the ANN and graph memo families from two concurrent
+  * driver threads. The lock graph stays acyclic only while memo factories
+  * acquire other memo locks in one direction — today every factory calls
+  * at most "leaf" memos (Tables reads, its own family's sub-artifacts)
+  * and the two concurrent families touch DISJOINT memo instances. A new
+  * cross-family memo reference (e.g. a graph memo whose factory reads a
+  * QueriesAnn memo while QueriesAnn's factory reads a graph memo) would
+  * deadlock the concurrent setup — either keep the reference one-way, or
+  * move the factory computation outside `synchronized` behind a per-key
+  * latch before adding such an edge. */
 private[graft] final class SessionMemo[V] {
   SessionMemo.register(this)
 

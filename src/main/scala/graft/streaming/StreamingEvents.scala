@@ -127,18 +127,36 @@ object StreamingEvents {
 
   /** Run a streaming aggregation to completion over existing files
     * (Trigger.AvailableNow + memory sink) and return the final table —
-    * used by the oracle-checked `streaming_hourly` query and tests. */
+    * used by the oracle-checked `streaming_hourly` query and tests.
+    *
+    * `statePartitions` (optional) scopes `spark.sql.shuffle.partitions`
+    * for this query's lifetime — a NEW streaming query pins its state-
+    * store partition count from that conf at first batch, and every
+    * micro-batch then pays one state-store commit per partition. Callers
+    * derive it from input size capped at the session conf (the
+    * size-derived rule of BspBeamSearch.pinVectors) so a small input
+    * doesn't pay conf-many near-empty store commits while cluster-scale
+    * streams keep the configured parallelism. Restored after termination;
+    * batch-equivalence is unaffected (the aggregation result is
+    * partitioning-independent; the sum runs over exact decimals). */
   def runToMemory(agg: DataFrame, name: String,
-                  mode: String = "complete"): DataFrame = {
+                  mode: String = "complete",
+                  statePartitions: Option[Int] = None): DataFrame = {
     val spark = agg.sparkSession
     // AvailableNow appends a no-data micro-batch after the data batches
     // (its purpose is firing event-time timers); a complete/update-mode
     // aggregation over a static file set emits the identical final table
     // without it, and the empty batch costs a full state-store
     // commit+sink cycle. Scoped to this query: restored after termination.
+    // NOT applied in append mode: there the trailing no-data batch is what
+    // finalizes windows past the watermark — skipping it would silently
+    // never emit them (ADVICE r13).
     val key = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "false")
+    if (mode != "append") spark.conf.set(key, "false")
+    val spKey = "spark.sql.shuffle.partitions"
+    val prevSp = spark.conf.getOption(spKey)
+    statePartitions.foreach(n => spark.conf.set(spKey, n.toString))
     try {
       val q = agg.writeStream.format("memory").queryName(name)
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()
@@ -147,6 +165,10 @@ object StreamingEvents {
       prev match {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)
+      }
+      prevSp match {
+        case Some(v) => spark.conf.set(spKey, v)
+        case None => spark.conf.unset(spKey)
       }
     }
     spark.table(name)

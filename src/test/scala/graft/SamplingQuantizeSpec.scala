@@ -223,4 +223,26 @@ class SamplingQuantizeSpec extends SparkSpec {
       .agg(max("maxerr")).collect().head.getDouble(0)
     assert(worst <= maxStep / 2 + 1e-9, s"worst error $worst > ${maxStep / 2}")
   }
+
+  test("fused sq8EncodeDecode == staged decode(encode) bit-for-bit") {
+    val vecs = Tables.vectors(spark, sf001).select("id", "vec")
+    val bounds = Quantize.sq8Bounds(vecs)
+    val loHi = bounds
+      .agg(sort_array(collect_list(struct(col("pos"), col("lo"), col("hi")))).as("b"))
+      .select(transform(col("b"), _("lo")).as("lo"),
+        transform(col("b"), _("hi")).as("hi"))
+    val staged = Quantize.sq8Encode(vecs, bounds).crossJoin(broadcast(loHi))
+      .select(col("id"),
+        transform(Quantize.sq8Decode(col("codes"), col("lo"), col("hi")),
+          _.cast("float")).as("vec"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+    val fused = Quantize.sq8EncodeDecode(vecs, Quantize.sq8Bounds(vecs))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+    // bit-level float equality (== on Float is exact here: both paths run
+    // the identical double op chain before one float cast)
+    assert(fused.toSeq == staged.toSeq,
+      "fused sq8 round trip diverged from the staged form")
+  }
 }

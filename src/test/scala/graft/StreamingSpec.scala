@@ -17,6 +17,19 @@ class StreamingSpec extends SparkSpec {
     assert(res.exceptAll(batch).isEmpty && batch.exceptAll(res).isEmpty)
   }
 
+  test("hourly rollup is batch-equal at a reduced state partition count " +
+    "and the conf is restored") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val stream = StreamingEvents.readEvents(spark, s"$sf0001/events.parquet")
+    val res = StreamingEvents.runToMemory(
+      StreamingEvents.hourlyRollup(stream), "test_stream_hourly_sp",
+      statePartitions = Some(1))
+    val batch = EventOps.hourlyRollup(Tables.events(spark, sf0001))
+    assert(res.exceptAll(batch).isEmpty && batch.exceptAll(res).isEmpty)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == prev,
+      "shuffle-partition conf must be restored after the streaming query")
+  }
+
   test("hourly rollup is batch-equal across multiple micro-batches") {
     // split the events table into several files and feed them one per
     // micro-batch — state must merge identically to the single-batch case
