@@ -221,12 +221,14 @@ object NearDup {
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`.
-    * Candidates via chunk banding (pigeonhole: distance ≤ chunks-1
-    * guarantees an equal chunk; larger distances may be missed — that is
-    * the standard SimHash recall/cost trade). Pair generation + hamming
-    * filter run inside bounded block-pair groups (see [[blockPairGroups]])
-    * so the candidate cross-product never hits an exchange AND a hot
-    * bucket never becomes one straggler task. */
+    * Candidates via chunk-subset banding (pigeonhole: distance ≤ h leaves
+    * at least chunks−h chunks equal, so banding on every (chunks−h)-chunk
+    * subset covers every qualifying pair exactly; distances above
+    * chunks−1 may be missed — the standard SimHash recall/cost trade).
+    * Pair generation + hamming filter run inside bounded block-pair
+    * groups (see [[blockPairGroups]]) so the candidate cross-product
+    * never hits an exchange AND a hot bucket never becomes one straggler
+    * task. */
   def simHashPairs(docs: DataFrame, maxHamming: Int = SimHashChunks - 1,
                    textCol: String = "text", idCol: String = "doc_id",
                    maxBucket: Int = MaxBucketSize): DataFrame = {
@@ -242,11 +244,28 @@ object NearDup {
     // cache entry accumulating across invocations)
     val sh = graft.ops.graph.PlanUtil.cutDF(
       docs.select(col(idCol), simHash(col(textCol)).as("simhash")))
+    val chunkExprs = (0 until SimHashChunks).map { c =>
+      shiftright(col("simhash"), c * bitsPerChunk)
+        .bitwiseAND(lit((1L << bitsPerChunk) - 1))
+    }
+    // pigeonhole, used at full tightness: a pair at hamming <= maxHamming
+    // differs in at most maxHamming chunks, so it SHARES at least
+    // (chunks - maxHamming) chunks — band on every subset of that size
+    // (key = the subset's chunk values packed into one i64). maxHamming =
+    // chunks-1 degenerates to the classic single-chunk banding; tighter
+    // budgets get proportionally tighter candidate sets for free. The
+    // banded row count per doc is C(chunks, comboSize) (= 3 for both
+    // settings at 3 chunks); coverage is exact either way, only the
+    // spurious-collision volume changes (measured at sf0.1, maxHamming=1:
+    // raw pair checks 4.25M -> see OPTIMIZATION_r14.md item 8).
+    val comboSize = math.max(1, SimHashChunks - maxHamming)
+    require(comboSize * bitsPerChunk < 63,
+      s"packed combo key overflows i64: $comboSize x $bitsPerChunk bits")
+    val comboKeys = (0 until SimHashChunks).combinations(comboSize).toSeq
+      .map(_.map(chunkExprs).reduceLeft((acc, x) =>
+        acc * lit(1L << bitsPerChunk) + x))
     val banded = sh.select(col(idCol), col("simhash"),
-      posexplode(array((0 until SimHashChunks).map { c =>
-        shiftright(col("simhash"), c * bitsPerChunk)
-          .bitwiseAND(lit((1L << bitsPerChunk) - 1))
-      }: _*)).as(Seq("chunk", "key")))
+      posexplode(array(comboKeys: _*)).as(Seq("chunk", "key")))
     blockPairGroups(banded, Seq("chunk", "key"), idCol,
       struct(col(idCol).as("id"), col("simhash").as("sh"), col("blk")),
       maxBucket)

@@ -636,7 +636,17 @@ object QueriesAnn {
       .select(col("centroid_id"), col("base_id").as("id"))
       .join(codes, "id")
     val probes = AnnSearch.probeCentroids(qSide(s, dir), cents, NProbe)
-    val cand = Quantize.ivfAdcTopK(probes, qP, assignedCodes, cb, IvfPqRefine)
+    // kernel ADC (ivfAdcTopKKernel, result-identical, IvfPqSpec-gated) —
+    // the same engine/oracle relationship as ann_pq_adc_topk, which has
+    // always served the kernel adcTopK: the relational composite embeds
+    // the m×k×subDim codebook as a 16k-float literal, making a ~485 KB
+    // plan whose analysis/canonicalization walks dominated the query's
+    // steady wall, and its per-row distance is an interpreted HOF fold.
+    // ivfAdcTopK remains the DuckDB-mirroring form (IvfPqSpec pins
+    // equality); the oracle hash is checked on this query's output as
+    // before.
+    val cand = Quantize.ivfAdcTopKKernel(probes, qP, assignedCodes, cb,
+      IvfPqRefine)
     val refined = Quantize.refineTopK(cand, qSide(s, dir), bSide(s, dir), K)
     KnnJoin.explodeRanks(refined)
       .select(col("query_id"), col("rank"), col("base_id"),

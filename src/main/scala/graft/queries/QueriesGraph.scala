@@ -103,9 +103,12 @@ object QueriesGraph {
     // partial/final top-k merge is partition-count-independent (exact
     // distances, (dist, id) ties).
     val pairsPerTask = 800000L
+    // one footer-metadata count: |train| = the whole table, |base| =
+    // n - 20 by the fixed id convention (ids < 20 are the query side)
+    val n = train.count()
     val workParts = math.max(1L, math.min(
       s.conf.get("spark.sql.shuffle.partitions").toLong,
-      train.count() * b.count() / pairsPerTask)).toInt
+      n * math.max(0L, n - 20L) / pairsPerTask)).toInt
     val bSpread =
       if (b.rdd.getNumPartitions < workParts) b.repartition(workParts) else b
     val knnTrain = KnnJoin(train, bSpread, 10, Metric.L2)

@@ -19,6 +19,21 @@ class NearDupSpec extends SparkSpec {
     assert(split.count() > 0)
   }
 
+  test("simHashPairs subset banding (maxHamming=1) == brute-force " +
+    "hamming pairs") {
+    val docs = Tables.documents(spark, sf001)
+    val sh = docs.select(col("doc_id"), NearDup.simHash(col("text")).as("h"))
+    val a = sh.select(col("doc_id").as("id_a"), col("h").as("ha"))
+    val b = sh.select(col("doc_id").as("id_b"), col("h").as("hb"))
+    val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= 1)
+      .select("id_a", "id_b", "hamming")
+    val banded = NearDup.simHashPairs(docs, maxHamming = 1)
+    assert(banded.exceptAll(brute).isEmpty && brute.exceptAll(banded).isEmpty,
+      "chunk-pair banding must emit exactly the brute-force pair set")
+  }
+
   test("lshCandidates: blocked decomposition == unsplit result") {
     val docs = Tables.documents(spark, sf0001)
     val sigs = NearDup.signatures(docs).cache()
