@@ -136,10 +136,14 @@ object Quantize {
     * Output (id, codes: array<int> of length m). One broadcast join of
     * the codebook table + a partial-aggregating min per (subspace, id) —
     * the n×m×k scored rows never reach an exchange, and (unlike a
-    * per-subspace literal-fold) the plan size is independent of m×k. */
-  def pqEncode(vectors: DataFrame, codebooks: DataFrame, m: Int): DataFrame = {
-    val dim = vectors.select(size(col("vec"))).head().getInt(0)
-    val subDim = dim / m
+    * per-subspace literal-fold) the plan size is independent of m×k.
+    * `dim` (when > 0) skips the one-row dimension-probe job — callers on
+    * the bench path know the (padded) dimension statically. */
+  def pqEncode(vectors: DataFrame, codebooks: DataFrame, m: Int,
+               dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim
+            else vectors.select(size(col("vec"))).head().getInt(0)
+    val subDim = d / m
     val sv = subspaceRows(vectors, m, subDim)
     sv.join(broadcast(codebooks.select(col("subspace"),
         col("centroid_id"), col("vec").as("cvec"))), "subspace")

@@ -319,7 +319,7 @@ object QueriesAnn {
           try Quantize.pqTrain(trainP, PqM, PqK, PqIters).cache()
           finally Await.ready(fB, Duration.Inf)
         Await.result(fB, Duration.Inf)
-        val codes = Quantize.pqEncode(bP, cb, PqM).cache()
+        val codes = Quantize.pqEncode(bP, cb, PqM, dim = PqDim).cache()
         (cb, codes, qP)
       }
     }
@@ -565,7 +565,7 @@ object QueriesAnn {
     // Scalar k0..k7 columns rather than codes: array<int> — the driver's
     // oracle comparator sorts result columns with pandas before hashing,
     // and an array-typed column is unsortable there (r6 red row).
-    Quantize.pqEncode(bP, cb, Pq200M)
+    Quantize.pqEncode(bP, cb, Pq200M, dim = Pq200Pad)
       .select(col("id") +:
         (0 until Pq200M).map(s =>
           element_at(col("codes"), s + 1).as(s"k$s")): _*)
